@@ -1,0 +1,157 @@
+"""EVA-02 ViT backbone (baseline, no token compression) — TPU-native.
+
+Capability parity target: reference
+  projects/mmdet3d_plugin/models/backbones/eva_vit.py (EVA_ViT, Block,
+  Attention, SwiGLU) and eva_utils.py (PatchEmbed, get_abs_pos, RoPE).
+
+Design notes (TPU-first, not a port):
+  * Pure functions over a param pytree; per-block remat is applied by the
+    training step (jax.checkpoint), not baked in here.
+  * Window partition/unpartition are static-shape reshapes; all 24 blocks run
+    as an unrolled python loop (24 is static) so XLA can fuse freely.
+  * RoPE cos/sin tables are host-precomputed constants per (window, global).
+  * LayerNorm eps 1e-6 (norm_layer=partial(nn.LayerNorm, eps=1e-6) in ref).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import (init_conv, conv2d, init_layer_norm, layer_norm,
+                      init_swiglu, swiglu, trunc_normal)
+from ..ops.attention import init_eva_attention, eva_attention
+from ..ops.resize import resize_abs_pos
+from ..ops.rope import build_rope_table
+from ..ops.window import window_partition, window_unpartition
+
+LN_EPS = 1e-6
+
+
+@dataclass(frozen=True)
+class EVAViTConfig:
+    """Mirrors the reference's public config knobs (ToC3D_fast.py:41-69)."""
+    img_size: int = 320              # short side; sets the global RoPE grid
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4 * 2 / 3
+    window_size: int = 16
+    global_window_size: int = 20
+    global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11, 14, 17, 20, 23)
+    use_abs_pos: bool = True
+    rope: bool = True
+    pt_hw_seq_len: int = 16
+    intp_freq: bool = True
+    pretrain_img_size: int = 224
+    pretrain_use_cls_token: bool = True
+    drop_path_rate: float = 0.0      # eval path ignores droppath (identity)
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def hw_seq_len(self) -> int:
+        return self.img_size // self.patch_size
+
+
+def vit_b_config(**kw) -> EVAViTConfig:
+    return EVAViTConfig(embed_dim=768, depth=12, num_heads=12,
+                        global_attn_indexes=(2, 5, 8, 11), **kw)
+
+
+def make_rope_tables(cfg: EVAViTConfig):
+    """(window_tables, global_tables) each (cos, sin) or None."""
+    if not cfg.rope:
+        return None, None
+    half = cfg.head_dim // 2
+    win = build_rope_table(half, cfg.pt_hw_seq_len,
+                           cfg.window_size if cfg.intp_freq else None)
+    glb = build_rope_table(half, cfg.pt_hw_seq_len,
+                           cfg.hw_seq_len if cfg.intp_freq else None)
+    return win, glb
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+def init_block(key, cfg: EVAViTConfig):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "norm1": init_layer_norm(cfg.embed_dim),
+        "attn": init_eva_attention(k1, cfg.embed_dim, cfg.num_heads),
+        "norm2": init_layer_norm(cfg.embed_dim),
+        "mlp": init_swiglu(k2, cfg.embed_dim,
+                           int(cfg.embed_dim * cfg.mlp_ratio), subln=True),
+    }
+
+
+def init_eva_vit(key, cfg: EVAViTConfig):
+    keys = jax.random.split(key, cfg.depth + 2)
+    params = {
+        "patch_embed": init_conv(keys[0], cfg.patch_size, cfg.patch_size,
+                                 cfg.in_chans, cfg.embed_dim),
+        "blocks": [init_block(keys[i + 2], cfg) for i in range(cfg.depth)],
+    }
+    if cfg.use_abs_pos:
+        n = (cfg.pretrain_img_size // cfg.patch_size) ** 2
+        n = n + 1 if cfg.pretrain_use_cls_token else n
+        params["pos_embed"] = trunc_normal(keys[1], (1, n, cfg.embed_dim), 0.02)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def patch_embed(p, x, patch_size: int):
+    """x: (B, H, W, 3) -> (B, H/ps, W/ps, C)."""
+    assert x.shape[1] % patch_size == 0 and x.shape[2] % patch_size == 0, (
+        f"image size {x.shape[1:3]} must be a multiple of patch_size="
+        f"{patch_size}; pad inputs (PadMultiViewImage pads to /32)")
+    return conv2d(p, x, stride=patch_size, padding="VALID")
+
+
+def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables):
+    """Plain (non-compressed) EVA block. x: (B, H, W, C)."""
+    b, h, w, c = x.shape
+    shortcut = x
+    x = layer_norm(p["norm1"], x, eps=LN_EPS)
+    xw, padded = window_partition(x, window_size)
+    xw = eva_attention(p["attn"], xw, cfg.num_heads, rope_tables)
+    x = window_unpartition(xw, window_size, padded, (h, w))
+    x = shortcut + x
+    x = x + swiglu(p["mlp"], layer_norm(p["norm2"], x, eps=LN_EPS), ln_eps=LN_EPS)
+    return x
+
+
+def eva_vit_forward(params, x, cfg: EVAViTConfig, rope_tables=None,
+                    remat: bool = False):
+    """x: (B, H, W, 3) images (normalized) -> (B, h, w, C) features.
+
+    rope_tables: optional precomputed (win, glb) pair from make_rope_tables.
+    """
+    if rope_tables is None:
+        rope_tables = make_rope_tables(cfg)
+    rope_win, rope_glb = rope_tables
+
+    x = patch_embed(params["patch_embed"], x, cfg.patch_size)
+    if cfg.use_abs_pos:
+        x = x + resize_abs_pos(params["pos_embed"], cfg.pretrain_use_cls_token,
+                               (x.shape[1], x.shape[2])).astype(x.dtype)
+
+    for i in range(cfg.depth):
+        is_global = i in cfg.global_attn_indexes
+        ws = cfg.global_window_size if is_global else cfg.window_size
+        tables = rope_glb if is_global else rope_win
+        fwd = block_forward
+        if remat:
+            fwd = jax.checkpoint(block_forward, static_argnums=(2, 3))
+        x = fwd(params["blocks"][i], x, cfg, ws, tables)
+    return x

@@ -1,0 +1,476 @@
+"""StreamPETR decoder head with an explicit temporal memory bank.
+
+Capability parity target: reference
+  projects/mmdet3d_plugin/models/dense_heads/streampetr_head.py
+  (StreamPETRHead: memory bank :315-377, 3D position embedding :379-422,
+   temporal alignment :424-453, forward :604-680, decode via NMSFreeCoder).
+
+TPU-first design:
+  * The memory bank is an explicit NamedTuple threaded through the jitted
+    step — no mutable module attributes; scene reset is a branchless
+    multiply by prev_exists (memory_refresh).
+  * Timestamps are float32 *relative* seconds (host subtracts a per-run
+    origin). The reference keeps float64 absolute epochs; only differences
+    ever reach the network (pre-add/post-subtract pairs), so relative f32
+    is numerically equivalent and TPU-friendly.
+  * img2lidar (the inverse of lidar2img) is produced host-side in float64 by
+    the data pipeline instead of a CPU-roundtrip inverse inside the forward
+    (reference streampetr_head.py:407).
+  * cls/reg branches are shared across decoder layers, matching the
+    reference's aliased ModuleList (streampetr_head.py:257-260 puts the same
+    module at every index).
+  * The reference tiles per-view intrinsics with `.repeat(1, H*W, 1)`
+    (streampetr_head.py:386), pairing token j with view j % N while tokens
+    are view-major (j // HW). We replicate that exact pairing for checkpoint
+    parity (the trained weights saw it).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..layers import (init_layer_norm, layer_norm, init_linear, linear,
+                      init_mln, mln, init_se_linear, se_linear, init_mlp,
+                      mlp_relu, inverse_sigmoid, bias_init_with_prob)
+from ..ops.gather import topk_gather, memory_refresh
+from ..ops.posenc import pos2posemb3d, pos2posemb1d, nerf_positional_encoding
+from ..core.boxes import transform_reference_points
+from .petr_transformer import DecoderConfig, init_decoder, decoder_forward
+
+LN_EPS = 1e-5
+
+
+@dataclass(frozen=True)
+class StreamPETRHeadConfig:
+    num_classes: int = 10
+    in_channels: int = 256
+    embed_dims: int = 256
+    stride: int = 16
+    num_query: int = 644
+    memory_len: int = 1024
+    topk_proposals: int = 256
+    num_propagated: int = 256
+    with_ego_pos: bool = True
+    with_dn: bool = True
+    scalar: int = 10                  # number of denoising groups
+    noise_scale: float = 1.0
+    noise_trans: float = 0.0
+    dn_weight: float = 1.0
+    split: float = 0.75
+    depth_num: int = 64
+    depth_start: float = 1.0
+    LID: bool = True
+    position_range: Tuple[float, ...] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    code_size: int = 10
+    code_weights: Tuple[float, ...] = (2.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+                                       1.0, 1.0, 1.0)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    # NMS-free decode
+    max_decode: int = 300
+    post_center_range: Tuple[float, ...] = (-61.2, -61.2, -10.0, 61.2, 61.2,
+                                            10.0)
+    # static DN padding (reference uses dynamic max(num_gt); we fix it)
+    dn_max_gt: int = 96
+
+    @property
+    def position_dim(self) -> int:
+        return self.depth_num * 3
+
+
+class MemoryBank(NamedTuple):
+    """Temporal query memory (streampetr_head.py:322-346): 1024 slots of
+    (embedding, reference point, relative timestamp, 4x4 ego pose, velocity).
+    Reference points / ego poses are stored in *global* frame between frames.
+    """
+    embedding: jnp.ndarray        # (B, L, C)
+    reference_point: jnp.ndarray  # (B, L, 3)
+    timestamp: jnp.ndarray        # (B, L, 1)
+    egopose: jnp.ndarray          # (B, L, 4, 4)
+    velo: jnp.ndarray             # (B, L, 2)
+
+
+def init_memory(batch_size: int, cfg: StreamPETRHeadConfig,
+                dtype=jnp.float32) -> MemoryBank:
+    b, l, c = batch_size, cfg.memory_len, cfg.embed_dims
+    return MemoryBank(
+        embedding=jnp.zeros((b, l, c), dtype),
+        reference_point=jnp.zeros((b, l, 3), dtype),
+        timestamp=jnp.zeros((b, l, 1), dtype),
+        egopose=jnp.zeros((b, l, 4, 4), dtype),
+        velo=jnp.zeros((b, l, 2), dtype),
+    )
+
+
+def lid_depth_bins(cfg: StreamPETRHeadConfig) -> np.ndarray:
+    """LID depth discretization (streampetr_head.py:221-231)."""
+    index = np.arange(cfg.depth_num, dtype=np.float64)
+    if cfg.LID:
+        bin_size = (cfg.position_range[3] - cfg.depth_start) / (
+            cfg.depth_num * (1 + cfg.depth_num))
+        coords_d = cfg.depth_start + bin_size * index * (index + 1)
+    else:
+        bin_size = (cfg.position_range[3] - cfg.depth_start) / cfg.depth_num
+        coords_d = cfg.depth_start + bin_size * index
+    return coords_d.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+def init_streampetr_head(key, cfg: StreamPETRHeadConfig):
+    k = jax.random.split(key, 16)
+    d = cfg.embed_dims
+    params = {
+        "position_encoder": init_mlp(k[0], [cfg.position_dim, d * 4, d]),
+        "memory_embed": init_mlp(k[1], [cfg.in_channels, d, d]),
+        "featurized_pe": init_se_linear(k[2], d),
+        "reference_points": jax.random.uniform(k[3], (cfg.num_query, 3)),
+        "query_embedding": init_mlp(k[5], [d * 3 // 2, d, d]),
+        "spatial_alignment": init_mln(k[6], 8, d),
+        "time_embedding": {"fc": init_linear(k[7], d, d),
+                           "ln": init_layer_norm(d)},
+        "decoder": init_decoder(k[10], cfg.decoder),
+        "cls_branch": _init_cls_branch(k[11], cfg),
+        "reg_branch": _init_reg_branch(k[12], cfg),
+    }
+    if cfg.num_propagated > 0:
+        params["pseudo_reference_points"] = jax.random.uniform(
+            k[4], (cfg.num_propagated, 3))
+    if cfg.with_ego_pos:
+        params["ego_pose_pe"] = init_mln(k[8], 180, d)
+        params["ego_pose_memory"] = init_mln(k[9], 180, d)
+    return params
+
+
+def _init_cls_branch(key, cfg):
+    d = cfg.embed_dims
+    k = jax.random.split(key, 3)
+    p = {
+        "fc0": init_linear(k[0], d, d),
+        "ln0": init_layer_norm(d),
+        "fc1": init_linear(k[1], d, d),
+        "ln1": init_layer_norm(d),
+        "out": init_linear(k[2], d, cfg.num_classes),
+    }
+    p["out"]["b"] = jnp.full((cfg.num_classes,), bias_init_with_prob(0.01))
+    return p
+
+
+def _init_reg_branch(key, cfg):
+    d = cfg.embed_dims
+    k = jax.random.split(key, 3)
+    return {
+        "fc0": init_linear(k[0], d, d),
+        "fc1": init_linear(k[1], d, d),
+        "out": init_linear(k[2], d, cfg.code_size),
+    }
+
+
+def cls_branch_forward(p, x):
+    x = jax.nn.relu(layer_norm(p["ln0"], linear(p["fc0"], x), eps=LN_EPS))
+    x = jax.nn.relu(layer_norm(p["ln1"], linear(p["fc1"], x), eps=LN_EPS))
+    return linear(p["out"], x)
+
+
+def reg_branch_forward(p, x):
+    x = jax.nn.relu(linear(p["fc0"], x))
+    x = jax.nn.relu(linear(p["fc1"], x))
+    return linear(p["out"], x)
+
+
+# ---------------------------------------------------------------------------
+# memory bank updates
+# ---------------------------------------------------------------------------
+
+def pre_update_memory(cfg: StreamPETRHeadConfig, params, bank: MemoryBank,
+                      timestamp, ego_pose_inv, prev_exists) -> MemoryBank:
+    """Align the bank into the current ego frame and reset on scene change
+    (streampetr_head.py:322-346). timestamp: (B,) relative seconds."""
+    x = prev_exists.astype(bank.embedding.dtype)           # (B,)
+    b = x.shape[0]
+
+    ts = bank.timestamp + timestamp[:, None, None]
+    ego = jnp.einsum("bij,bljk->blik", ego_pose_inv, bank.egopose)
+    ref = transform_reference_points(bank.reference_point, ego_pose_inv)
+
+    ts = memory_refresh(ts, x)
+    ref = memory_refresh(ref, x)
+    emb = memory_refresh(bank.embedding, x)
+    ego = memory_refresh(ego, x)
+    velo = memory_refresh(bank.velo, x)
+
+    if cfg.num_propagated > 0:
+        pc = jnp.asarray(cfg.pc_range, ref.dtype)
+        pseudo = (params["pseudo_reference_points"].astype(ref.dtype)
+                  * (pc[3:6] - pc[0:3]) + pc[0:3])
+        pseudo = jax.lax.stop_gradient(pseudo)
+        p_slots = ref[:, :cfg.num_propagated] + (1 - x).reshape(b, 1, 1) * pseudo
+        ref = ref.at[:, :cfg.num_propagated].set(p_slots)
+        eye = jnp.eye(4, dtype=ego.dtype)
+        e_slots = (ego[:, :cfg.num_propagated]
+                   + (1 - x).reshape(b, 1, 1, 1) * eye)
+        ego = ego.at[:, :cfg.num_propagated].set(e_slots)
+
+    return MemoryBank(emb, ref, ts, ego, velo)
+
+
+def post_update_memory(cfg: StreamPETRHeadConfig, bank: MemoryBank,
+                       timestamp, ego_pose, all_cls_scores, all_bbox_preds,
+                       outs_dec, rec_ego_pose, dn_pad: int) -> MemoryBank:
+    """Propagate top-k current queries into the bank and return it to the
+    global frame (streampetr_head.py:348-377). Slices back to memory_len
+    immediately (the reference defers the slice to the next pre-update —
+    identical per-slot math)."""
+    sg = jax.lax.stop_gradient
+    cls_last = all_cls_scores[-1][:, dn_pad:]
+    box_last = all_bbox_preds[-1][:, dn_pad:]
+    out_last = outs_dec[-1][:, dn_pad:]
+
+    rec_ref = sg(box_last[..., :3])
+    rec_velo = sg(box_last[..., -2:])
+    rec_mem = sg(out_last)
+    rec_score = jnp.max(jax.nn.sigmoid(cls_last), axis=-1, keepdims=True)
+    rec_ts = jnp.zeros_like(rec_score)
+
+    _, topk_idx = jax.lax.top_k(rec_score[..., 0], cfg.topk_proposals)
+    rec_ts = topk_gather(rec_ts, topk_idx)
+    rec_ref = topk_gather(rec_ref, topk_idx)
+    rec_mem = topk_gather(rec_mem, topk_idx)
+    rec_ego = topk_gather(rec_ego_pose[:, :cls_last.shape[1]], topk_idx)
+    rec_velo = topk_gather(rec_velo, topk_idx)
+
+    L = cfg.memory_len
+    emb = jnp.concatenate([rec_mem, bank.embedding], axis=1)[:, :L]
+    ts = jnp.concatenate([rec_ts, bank.timestamp], axis=1)[:, :L]
+    ego = jnp.concatenate([rec_ego, bank.egopose], axis=1)[:, :L]
+    ref = jnp.concatenate([rec_ref, bank.reference_point], axis=1)[:, :L]
+    velo = jnp.concatenate([rec_velo, bank.velo], axis=1)[:, :L]
+
+    ref = transform_reference_points(ref, ego_pose)
+    ts = ts - timestamp[:, None, None]
+    ego = jnp.einsum("bij,bljk->blik", ego_pose, ego)
+    return MemoryBank(emb, ref, ts, ego, velo)
+
+
+# ---------------------------------------------------------------------------
+# 3D position embedding
+# ---------------------------------------------------------------------------
+
+def location_grid(h: int, w: int, stride: int, pad_h: int, pad_w: int):
+    """FCOS-style pixel-center grid normalized by padded image size
+    (misc.py:58-85). Returns (h, w, 2) float32 in [0, 1]."""
+    sx = (np.arange(w, dtype=np.float32) * stride + stride // 2) / pad_w
+    sy = (np.arange(h, dtype=np.float32) * stride + stride // 2) / pad_h
+    gx, gy = np.meshgrid(sx, sy)
+    return jnp.asarray(np.stack([gx, gy], axis=-1))
+
+
+def position_embeding(params, cfg: StreamPETRHeadConfig, data, centers,
+                      topk_indexes):
+    """3D positional embedding from LID-binned frustum rays
+    (streampetr_head.py:379-422).
+
+    data: dict with 'intrinsics' (B, N, 4, 4), 'img2lidar' (B, N, 4, 4),
+    pad shape in data['pad_shape'] (static). centers: (h, w, 2) normalized.
+    Returns (pos_embed (B, K, C), cone (B, K, 8)).
+    """
+    eps = 1e-5
+    b, n = data["intrinsics"].shape[:2]
+    h, w = centers.shape[:2]
+    hw = h * w
+    num_tokens = n * hw
+    pad_h, pad_w = data["pad_shape"]
+
+    intrinsic = jnp.stack([data["intrinsics"][..., 0, 0],
+                           data["intrinsics"][..., 1, 1]], axis=-1)
+    intrinsic = jnp.abs(intrinsic) / 1e3                       # (B, N, 2)
+    # reference quirk: tiled (token j -> view j % N), see module docstring.
+    intrinsic = jnp.tile(intrinsic, (1, hw, 1))                # (B, N*HW, 2)
+
+    centers_px = centers * jnp.asarray([pad_w, pad_h], centers.dtype)
+    centers_px = jnp.broadcast_to(centers_px.reshape(1, 1, hw, 2),
+                                  (b, n, hw, 2)).reshape(b, num_tokens, 1, 2)
+    centers_px = topk_gather(centers_px, topk_indexes)
+
+    coords_d = jnp.asarray(lid_depth_bins(cfg))                # (D,)
+    d = cfg.depth_num
+    k = centers_px.shape[1]
+    xy = jnp.broadcast_to(centers_px, (b, k, d, 2))
+    dd = jnp.broadcast_to(coords_d.reshape(1, 1, d, 1), (b, k, d, 1))
+    coords = jnp.concatenate([xy * jnp.maximum(dd, eps), dd,
+                              jnp.ones_like(dd)], axis=-1)      # (B,K,D,4)
+
+    img2lidar = data["img2lidar"]                               # (B, N, 4, 4)
+    img2lidar = jnp.broadcast_to(img2lidar[:, :, None],
+                                 (b, n, hw, 4, 4)).reshape(b, num_tokens, 4, 4)
+    img2lidar = topk_gather(img2lidar, topk_indexes)            # (B, K, 4, 4)
+
+    coords3d = jnp.einsum("bkij,bkdj->bkdi", img2lidar, coords)[..., :3]
+    pr = jnp.asarray(cfg.position_range, coords3d.dtype)
+    coords3d = (coords3d - pr[0:3]) / (pr[3:6] - pr[0:3])
+    coords3d = coords3d.reshape(b, k, d * 3)
+
+    pos_embed = mlp_relu(params["position_encoder"],
+                         inverse_sigmoid(coords3d))
+    # cone: intrinsics + last-bin xyz + bin-(D-30) xyz (focal-petr spatial cue)
+    intrinsic = topk_gather(intrinsic, topk_indexes)
+    cone = jnp.concatenate([intrinsic, coords3d[..., -3:],
+                            coords3d[..., -90:-87]], axis=-1)
+    return pos_embed, cone
+
+
+# ---------------------------------------------------------------------------
+# temporal alignment
+# ---------------------------------------------------------------------------
+
+def temporal_alignment(params, cfg: StreamPETRHeadConfig, bank: MemoryBank,
+                       query_pos, tgt, reference_points):
+    """Condition queries + memory on ego motion and splice the first
+    num_propagated memory slots into the live query set
+    (streampetr_head.py:424-453)."""
+    b = query_pos.shape[0]
+    pc = jnp.asarray(cfg.pc_range, jnp.float32)
+
+    temp_ref_norm = (bank.reference_point - pc[:3]) / (pc[3:6] - pc[:3])
+    temp_pos = mlp_relu(params["query_embedding"],
+                        pos2posemb3d(temp_ref_norm,
+                                     num_pos_feats=cfg.embed_dims // 2))
+    temp_memory = bank.embedding
+
+    if cfg.with_ego_pos:
+        eye_flat = jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32)[:3, :].reshape(1, 1, 12),
+            (b, query_pos.shape[1], 12))
+        rec_motion = jnp.concatenate(
+            [jnp.zeros_like(reference_points[..., :3]), eye_flat], axis=-1)
+        rec_motion = nerf_positional_encoding(rec_motion)
+        tgt = mln(params["ego_pose_memory"], tgt, rec_motion)
+        query_pos = mln(params["ego_pose_pe"], query_pos, rec_motion)
+        mem_motion = jnp.concatenate(
+            [bank.velo, bank.timestamp,
+             bank.egopose[..., :3, :].reshape(b, -1, 12)], axis=-1)
+        mem_motion = nerf_positional_encoding(mem_motion.astype(jnp.float32))
+        temp_pos = mln(params["ego_pose_pe"], temp_pos, mem_motion)
+        temp_memory = mln(params["ego_pose_memory"], temp_memory, mem_motion)
+
+    te = params["time_embedding"]
+    query_pos = query_pos + layer_norm(
+        te["ln"],
+        linear(te["fc"], pos2posemb1d(jnp.zeros_like(reference_points[..., :1]),
+                                      num_pos_feats=cfg.embed_dims)),
+        eps=LN_EPS)
+    temp_pos = temp_pos + layer_norm(
+        te["ln"],
+        linear(te["fc"], pos2posemb1d(bank.timestamp,
+                                      num_pos_feats=cfg.embed_dims)),
+        eps=LN_EPS)
+
+    if cfg.num_propagated > 0:
+        p = cfg.num_propagated
+        tgt = jnp.concatenate([tgt, temp_memory[:, :p]], axis=1)
+        query_pos = jnp.concatenate([query_pos, temp_pos[:, :p]], axis=1)
+        reference_points = jnp.concatenate(
+            [reference_points, temp_ref_norm[:, :p]], axis=1)
+        temp_memory = temp_memory[:, p:]
+        temp_pos = temp_pos[:, p:]
+
+    rec_ego_pose = jnp.broadcast_to(
+        jnp.eye(4, dtype=query_pos.dtype),
+        (b, query_pos.shape[1], 4, 4))
+    return tgt, query_pos, reference_points, temp_memory, temp_pos, rec_ego_pose
+
+
+# ---------------------------------------------------------------------------
+# head forward
+# ---------------------------------------------------------------------------
+
+def head_forward(params, cfg: StreamPETRHeadConfig, feats, data,
+                 bank: MemoryBank, topk_indexes=None, dn=None, rng=None,
+                 remat: bool = False):
+    """One frame of the StreamPETR head (streampetr_head.py:604-680).
+
+    feats: (B, N, h, w, C) neck features (channel-last).
+    data: dict with intrinsics/img2lidar/timestamp/ego_pose/ego_pose_inv/
+          prev_exists and static 'pad_shape' (pad_h, pad_w).
+    dn: optional dict from core.dn.prepare_for_dn with
+        'padded_reference_points' (B, P+Q, 3), 'attn_mask' bool, 'pad_size'.
+    Returns (outs dict, new MemoryBank).
+    """
+    bank = pre_update_memory(cfg, params, bank, data["timestamp"],
+                             data["ego_pose_inv"], data["prev_exists"])
+
+    b, n, h, w, c = feats.shape
+    memory = feats.reshape(b, n * h * w, c)
+    memory = topk_gather(memory, topk_indexes)
+
+    centers = location_grid(h, w, cfg.stride, *data["pad_shape"])
+    pos_embed, cone = position_embeding(params, cfg, data, centers,
+                                        topk_indexes)
+
+    memory = mlp_relu(params["memory_embed"], memory)
+    memory = mln(params["spatial_alignment"], memory, cone.astype(memory.dtype))
+    pos_embed = se_linear(params["featurized_pe"], pos_embed, memory)
+
+    reference_points = params["reference_points"]                # (Q, 3)
+    if dn is not None:
+        reference_points = dn["padded_reference_points"]          # (B, P+Q, 3)
+        attn_mask = dn["attn_mask"]
+        pad_size = dn["pad_size"]
+    else:
+        reference_points = jnp.broadcast_to(
+            reference_points[None], (b, cfg.num_query, 3))
+        attn_mask = None
+        pad_size = 0
+
+    query_pos = mlp_relu(params["query_embedding"],
+                         pos2posemb3d(reference_points,
+                                      num_pos_feats=cfg.embed_dims // 2))
+    tgt = jnp.zeros_like(query_pos)
+
+    (tgt, query_pos, reference_points, temp_memory, temp_pos,
+     rec_ego_pose) = temporal_alignment(params, cfg, bank, query_pos, tgt,
+                                        reference_points)
+
+    outs_dec, _ = decoder_forward(
+        params["decoder"], cfg.decoder, tgt, memory, query_pos, pos_embed,
+        attn_mask, temp_memory, temp_pos, rng=rng, remat=remat)
+    outs_dec = jnp.nan_to_num(outs_dec)
+
+    # shared cls/reg branches, iterative sigmoid refinement around the fixed
+    # per-frame reference (streampetr_head.py:585-600)
+    ref_inv = inverse_sigmoid(jnp.clip(reference_points, 0.0, 1.0))
+    all_cls, all_box = [], []
+    for lvl in range(outs_dec.shape[0]):
+        cls = cls_branch_forward(params["cls_branch"], outs_dec[lvl])
+        tmp = reg_branch_forward(params["reg_branch"], outs_dec[lvl])
+        xyz = jax.nn.sigmoid(tmp[..., 0:3] + ref_inv)
+        tmp = jnp.concatenate([xyz, tmp[..., 3:]], axis=-1)
+        all_cls.append(cls)
+        all_box.append(tmp)
+    all_cls_scores = jnp.stack(all_cls)
+    all_bbox_preds = jnp.stack(all_box)
+    pc = jnp.asarray(cfg.pc_range, all_bbox_preds.dtype)
+    xyz = all_bbox_preds[..., 0:3] * (pc[3:6] - pc[0:3]) + pc[0:3]
+    all_bbox_preds = jnp.concatenate([xyz, all_bbox_preds[..., 3:]], axis=-1)
+
+    bank = post_update_memory(cfg, bank, data["timestamp"], data["ego_pose"],
+                              all_cls_scores, all_bbox_preds, outs_dec,
+                              rec_ego_pose, pad_size)
+
+    if pad_size > 0:
+        outs = {
+            "all_cls_scores": all_cls_scores[:, :, pad_size:],
+            "all_bbox_preds": all_bbox_preds[:, :, pad_size:],
+            "dn_cls_scores": all_cls_scores[:, :, :pad_size],
+            "dn_bbox_preds": all_bbox_preds[:, :, :pad_size],
+        }
+    else:
+        outs = {"all_cls_scores": all_cls_scores,
+                "all_bbox_preds": all_bbox_preds}
+    return outs, bank

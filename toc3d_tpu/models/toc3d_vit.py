@@ -1,0 +1,221 @@
+"""ToC3D EVA-ViT backbone: EVA-02 ViT with Motion Query-guided Token
+Compression — slow/fast per-window routing with a representative token.
+
+Capability parity target: reference
+  projects/mmdet3d_plugin/models/backbones/toc3d_eva_vit.py
+  (ToC3DEVAViT:25, ToC3DEVAViTBlock:329, ToC3DEVAAttention:480).
+
+TPU-first design:
+  * keep-count per window is int(ws*ws*ratio) — a static python int, so the
+    slow path is a fixed-shape (k+1)-token attention: zero dynamic shapes,
+    zero recompiles across frames (SURVEY.md §7 crux).
+  * selection + gather + merge + scatter are take_along_axis / .at[].set ops
+    that XLA fuses; a fused Pallas select-attend-scatter kernel can slot in
+    behind the same function signature.
+  * the slow-path RoPE gathers table rows at kept indices; the representative
+    token uses flat index k (== slow_index.shape[-1]), matching the
+    reference's convention (toc3d_eva_vit.py:433-435).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import layer_norm, swiglu
+from ..ops.attention import eva_attention
+from ..ops.gather import batch_index_select, batch_index_fill, merge_tokens
+from ..ops.resize import resize_abs_pos
+from ..ops.window import window_partition, window_unpartition
+from .eva_vit import (EVAViTConfig, LN_EPS, init_eva_vit, make_rope_tables,
+                      patch_embed, block_forward)
+from .token_select import (SelectorConfig, init_selector, selector_score,
+                           sample_topk, soft_mask)
+
+
+@dataclass(frozen=True)
+class ToC3DViTConfig(EVAViTConfig):
+    """EVA ViT + token-compression knobs (ToC3D_fast.py:41-69)."""
+    pruning_loc: Tuple[int, ...] = (6, 12, 18)
+    token_ratio: Tuple[float, ...] = (0.7, 0.5, 0.5)
+    pruning_num_queries: int = 64
+    pruning_score_type: str = "attention"
+    pruning_attn_scale: bool = True
+    score_mask: bool = True
+    accelerate_global: bool = True
+    use_represent_tokens: bool = True
+    rope_acc: bool = True
+    query_dim: int = 256
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+
+    def __post_init__(self):
+        overlap = set(self.pruning_loc) & set(self.global_attn_indexes)
+        assert not overlap, (
+            "pruning layers cannot be global attention layers "
+            f"(toc3d_eva_vit.py:141-142): {overlap}")
+
+    def selector_config(self, i: int) -> SelectorConfig:
+        return SelectorConfig(
+            embed_dim=self.embed_dim, query_dim=self.query_dim,
+            num_queries=self.pruning_num_queries,
+            ratio=self.token_ratio[i], attn_scale=self.pruning_attn_scale,
+            use_mask=self.score_mask, score_type=self.pruning_score_type,
+            pc_range=self.pc_range)
+
+    def block_is_accelerated(self, i: int) -> bool:
+        if not self.pruning_loc:
+            return False
+        if i < self.pruning_loc[0]:
+            return False
+        if i in self.global_attn_indexes:
+            return self.accelerate_global
+        return True
+
+
+def toc3d_fast_config(**kw) -> ToC3DViTConfig:
+    return ToC3DViTConfig(token_ratio=(0.7, 0.5, 0.5), **kw)
+
+
+def toc3d_faster_config(**kw) -> ToC3DViTConfig:
+    return ToC3DViTConfig(token_ratio=(0.5, 0.4, 0.3), **kw)
+
+
+def init_toc3d_vit(key, cfg: ToC3DViTConfig):
+    k1, *ks = jax.random.split(key, 1 + len(cfg.pruning_loc))
+    params = init_eva_vit(k1, cfg)
+    params["score_predictor"] = [
+        init_selector(ks[i], cfg.selector_config(i))
+        for i in range(len(cfg.pruning_loc))]
+    return params
+
+
+# ---------------------------------------------------------------------------
+# accelerated block
+# ---------------------------------------------------------------------------
+
+def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
+                        ratio: float, rope_tables):
+    """Slow/fast token routing inside one window-attention block.
+
+    x: (BN, H, W, C); scores: (BN, H*W) importance (log-prob channel 0).
+    Mirrors ToC3DEVAViTBlock.forward accelerate path
+    (toc3d_eva_vit.py:395-473).
+    """
+    bn, h, w, c = x.shape
+    xw, padded = window_partition(x, window_size)                # (BNw, ws, ws, C)
+    sw, _ = window_partition(scores.reshape(bn, h, w, 1), window_size,
+                             pad_value=-1e6)
+    nw = xw.shape[0]
+    n = window_size * window_size
+    xw = xw.reshape(nw, n, c)
+    sw = sw.reshape(nw, n)
+
+    slow_score, fast_score, slow_idx, fast_idx = sample_topk(sw, ratio)
+    k = slow_idx.shape[-1]
+
+    slow = batch_index_select(xw, slow_idx)                      # (NW, k, C)
+    fast = batch_index_select(xw, fast_idx)                      # (NW, n-k, C)
+
+    use_rep = cfg.use_represent_tokens and fast.shape[1] > 0
+    if use_rep:
+        rep = merge_tokens(fast, fast_score)                     # (NW, 1, C)
+        slow = jnp.concatenate([slow, rep], axis=1)              # (NW, k+1, C)
+
+    if cfg.rope and cfg.rope_acc:
+        if use_rep:
+            rep_idx = jnp.full((nw, 1), k, dtype=slow_idx.dtype)
+            sel_idx = jnp.concatenate([slow_idx, rep_idx], axis=-1)
+        else:
+            sel_idx = slow_idx
+        tables = rope_tables
+    else:
+        sel_idx, tables = None, None
+
+    # slow path (toc3d_eva_vit.py:366-386): pre-LN attn + pre-LN SwiGLU,
+    # raw deltas retained for the fast-path broadcast update.
+    shortcut = slow
+    hdn = layer_norm(p["norm1"], slow, eps=LN_EPS)
+    raw1 = eva_attention(p["attn"], hdn, cfg.num_heads, tables, sel_idx)
+    slow = shortcut + raw1
+    raw2 = swiglu(p["mlp"], layer_norm(p["norm2"], slow, eps=LN_EPS),
+                  ln_eps=LN_EPS)
+    slow = slow + raw2
+
+    if use_rep:
+        slow, rep1, rep2 = slow[:, :-1], raw1[:, -1:], raw2[:, -1:]
+        fast = fast + rep1 + rep2                                # broadcast add
+
+    out = batch_index_fill(jnp.zeros_like(xw), slow, fast, slow_idx, fast_idx)
+    out = out.reshape(nw, window_size, window_size, c)
+    return window_unpartition(out, window_size, padded, (h, w))
+
+
+# ---------------------------------------------------------------------------
+# backbone forward
+# ---------------------------------------------------------------------------
+
+def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
+                      prev_exists, rope_tables=None, rng=None,
+                      remat: bool = False):
+    """x: (BN, H, W, 3); motion_ctx: dict of memory-bank views (B-leading,
+    see token_select.selector_score); prev_exists: (B,) float.
+
+    Returns (features (BN, h, w, C), aux dict with token_masks / scores /
+    keep_idx / drop_idx lists — one entry per pruning layer).
+    """
+    if rope_tables is None:
+        rope_tables = make_rope_tables(cfg)
+    rope_win, rope_glb = rope_tables
+
+    x = patch_embed(params["patch_embed"], x, cfg.patch_size)
+    if cfg.use_abs_pos:
+        x = x + resize_abs_pos(params["pos_embed"], cfg.pretrain_use_cls_token,
+                               (x.shape[1], x.shape[2])).astype(x.dtype)
+
+    bn, h, w, c = x.shape
+    masks = jnp.ones((bn, h, w, 1), x.dtype)
+    aux = {"token_masks": [], "attn_scores": [], "keep_idx": [], "drop_idx": [],
+           "scores": []}
+    scores = None
+    seg = 0
+    ratio = None
+
+    for i in range(cfg.depth):
+        if i in cfg.pruning_loc:
+            scfg = cfg.selector_config(seg)
+            sel_rng = None
+            if rng is not None:
+                rng, sel_rng = jax.random.split(rng)
+            scores, pred, attn = selector_score(
+                params["score_predictor"][seg], scfg, x, masks, motion_ctx,
+                prev_exists)
+            masks = soft_mask(pred, sel_rng).reshape(bn, h, w, 1)
+            # whole-image keep/drop split (for vis + parity checks)
+            ks, ds, ki, di = sample_topk(scores, scfg.ratio)
+            aux["token_masks"].append(masks)
+            aux["scores"].append(scores.reshape(bn, h, w))
+            if attn is not None:
+                aux["attn_scores"].append(attn)
+            aux["keep_idx"].append(ki)
+            aux["drop_idx"].append(di)
+            ratio = scfg.ratio
+            seg += 1
+
+        is_global = i in cfg.global_attn_indexes
+        ws = cfg.global_window_size if is_global else cfg.window_size
+        tables = rope_glb if is_global else rope_win
+        if cfg.block_is_accelerated(i):
+            fwd = toc3d_block_forward
+            if remat:
+                fwd = jax.checkpoint(toc3d_block_forward,
+                                     static_argnums=(3, 4, 5))
+            x = fwd(params["blocks"][i], x, scores, cfg, ws, ratio, tables)
+        else:
+            fwd = block_forward
+            if remat:
+                fwd = jax.checkpoint(block_forward, static_argnums=(2, 3))
+            x = fwd(params["blocks"][i], x, cfg, ws, tables)
+
+    return x, aux

@@ -1,0 +1,132 @@
+"""Attention ops — clean XLA reference implementations.
+
+The Pallas-fused variants live in toc3d_tpu.ops.pallas; these XLA paths are
+the correctness baseline and the fallback on CPU test meshes.
+
+Behavior parity targets:
+  EVA Attention (separate q/k/v proj, q&v-only bias, RoPE)
+      -> reference eva_vit.py:54-119, toc3d_eva_vit.py:480-517
+  PETR decoder MHA (torch nn.MultiheadAttention semantics)
+      -> reference petr_transformer.py:194-337
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import init_linear, linear
+from .rope import apply_rope, apply_rope_select
+
+
+# ---------------------------------------------------------------------------
+# EVA ViT attention
+# ---------------------------------------------------------------------------
+
+def init_eva_attention(key, dim, num_heads):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q_proj": init_linear(kq, dim, dim, bias=True, init="trunc_normal"),
+        "k_proj": init_linear(kk, dim, dim, bias=False, init="trunc_normal"),
+        "v_proj": init_linear(kv, dim, dim, bias=True, init="trunc_normal"),
+        "proj": init_linear(ko, dim, dim, bias=True, init="trunc_normal"),
+    }
+
+
+def _split_heads(x, num_heads):
+    b, n, d = x.shape
+    return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None):
+    """x: (B, N, C) or (B, H, W, C). rope_tables: (cos, sin) or None.
+
+    select_idx: (B, N) flat positions for RoPE-with-selection; None applies
+    RoPE at raster positions 0..N-1.
+    """
+    reorganize = x.ndim == 4
+    if reorganize:
+        b, hh, ww, c = x.shape
+        x = x.reshape(b, hh * ww, c)
+    b, n, c = x.shape
+
+    q = _split_heads(linear(p["q_proj"], x), num_heads)
+    k = _split_heads(linear(p["k_proj"], x), num_heads)
+    v = _split_heads(linear(p["v_proj"], x), num_heads)
+
+    if rope_tables is not None:
+        cos, sin = rope_tables
+        if select_idx is not None:
+            q = apply_rope_select(q, cos, sin, select_idx).astype(v.dtype)
+            k = apply_rope_select(k, cos, sin, select_idx).astype(v.dtype)
+        else:
+            q = apply_rope(q, cos, sin).astype(v.dtype)
+            k = apply_rope(k, cos, sin).astype(v.dtype)
+
+    head_dim = c // num_heads
+    scale = head_dim ** -0.5
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = linear(p["proj"], _merge_heads(out))
+    if reorganize:
+        out = out.reshape(b, hh, ww, c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Standard MHA (torch nn.MultiheadAttention semantics) for the PETR decoder
+# ---------------------------------------------------------------------------
+
+def init_mha(key, embed_dim, num_heads):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    # torch packs qkv in in_proj_weight, xavier_uniform over the packed matrix.
+    return {
+        "q_proj": init_linear(kq, embed_dim, embed_dim, init="xavier_uniform"),
+        "k_proj": init_linear(kk, embed_dim, embed_dim, init="xavier_uniform"),
+        "v_proj": init_linear(kv, embed_dim, embed_dim, init="xavier_uniform"),
+        "out_proj": init_linear(ko, embed_dim, embed_dim, init="torch"),
+    }
+
+
+def mha(p, query, key, value, num_heads: int,
+        attn_mask: Optional[jnp.ndarray] = None, return_weights: bool = False):
+    """Batch-first multi-head attention.
+
+    query: (B, Q, C); key/value: (B, K, C).
+    attn_mask: bool (Q, K) or (B, Q, K), True = masked out (torch semantics);
+    or additive float mask.
+    Returns (out, attn_weights-mean-over-heads or None).
+    """
+    b, nq, c = query.shape
+    q = _split_heads(linear(p["q_proj"], query), num_heads)
+    k = _split_heads(linear(p["k_proj"], key), num_heads)
+    v = _split_heads(linear(p["v_proj"], value), num_heads)
+
+    scale = (c // num_heads) ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if attn_mask is not None:
+        if attn_mask.dtype == jnp.bool_:
+            neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+            bias = jnp.where(attn_mask, neg, 0.0)
+        else:
+            bias = attn_mask.astype(jnp.float32)
+        if bias.ndim == 2:
+            bias = bias[None, None]
+        elif bias.ndim == 3:
+            bias = bias[:, None]
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+    out = linear(p["out_proj"], _merge_heads(out))
+    if return_weights:
+        return out, jnp.mean(weights, axis=1)  # torch returns head-mean
+    return out, None

@@ -1,0 +1,59 @@
+"""Batched gather / scatter / merge primitives for token compression and
+query propagation. All static-shape; XLA lowers these to efficient
+gather/scatter HLOs on TPU.
+
+Behavior parity targets:
+  batch_index_select / batch_index_fill / merge_tokens
+      -> reference toc3d_utils.py:28-70
+  topk_gather -> reference models/utils/misc.py:13-23
+  memory_refresh -> reference models/utils/misc.py:7-11
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def batch_index_select(x, idx):
+    """x: (B, N, C) or (B, N); idx: (B, K) int -> (B, K, C) or (B, K)."""
+    if x.ndim == 3:
+        return jnp.take_along_axis(x, idx[..., None], axis=1)
+    if x.ndim == 2:
+        return jnp.take_along_axis(x, idx, axis=1)
+    raise NotImplementedError(x.shape)
+
+
+def batch_index_fill(x, x1, x2, idx1, idx2):
+    """Scatter x1 rows at idx1 and x2 rows at idx2 into x: (B, N, C)."""
+    b = x.shape[0]
+    bi = jnp.arange(b)[:, None]
+    x = x.at[bi, idx1].set(x1)
+    x = x.at[bi, idx2].set(x2)
+    return x
+
+
+def merge_tokens(x_drop, score):
+    """Score-weighted average of dropped tokens -> one representative token.
+
+    x_drop: (B, N, C); score: (B, N). Returns (B, 1, C).
+    """
+    denom = jnp.sum(score, axis=1, keepdims=True)
+    weight = score / denom
+    return jnp.sum(weight[..., None] * x_drop, axis=1, keepdims=True)
+
+
+def topk_gather(feat, topk_indexes):
+    """feat: (B, N, ...); topk_indexes: (B, K) or (B, K, 1) -> (B, K, ...)."""
+    if topk_indexes is None:
+        return feat
+    if topk_indexes.ndim == 3:
+        topk_indexes = topk_indexes[..., 0]
+    idx = topk_indexes.reshape(*topk_indexes.shape[:2],
+                               *([1] * (feat.ndim - 2)))
+    idx = jnp.broadcast_to(idx, topk_indexes.shape[:2] + feat.shape[2:])
+    return jnp.take_along_axis(feat, idx, axis=1)
+
+
+def memory_refresh(memory, prev_exist):
+    """Zero memory slots when the scene changed (prev_exist==0). Branchless."""
+    shape = [memory.shape[0]] + [1] * (memory.ndim - 1)
+    return memory * prev_exist.reshape(shape).astype(memory.dtype)
