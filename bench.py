@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: ToC3D-Faster (ratios 5/4/3) @ 1600x800, 6-view
+streaming inference throughput on one TPU chip.
+
+Reference protocol (README.md:113-123, gpu_timer.py:29): warmup then timed
+frames, batch 1, 6 camera views. Baseline: 1000/878.5 = 1.138 frames/s on
+one A100 (figs/main_results.png, ToC3D-Faster† whole-pipeline 878.5 ms).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_FPS = 1000.0 / 878.5
+
+
+def make_frame(rng, b, n, h, w, prev_exists):
+    import jax.numpy as jnp
+    eye = np.tile(np.eye(4, dtype=np.float32), (b, n, 1, 1))
+    intr = eye.copy()
+    intr[..., 0, 0] = intr[..., 1, 1] = 1.2e3
+    img2lidar = eye + rng.randn(b, n, 4, 4).astype(np.float32) * 1e-3
+    return {
+        "img": jnp.asarray(rng.randn(b, n, h, w, 3).astype(np.float32)),
+        "intrinsics": jnp.asarray(intr),
+        "img2lidar": jnp.asarray(img2lidar),
+        "timestamp": jnp.full((b,), 0.5, jnp.float32),
+        "ego_pose": jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))),
+        "ego_pose_inv": jnp.asarray(np.tile(np.eye(4, dtype=np.float32),
+                                            (b, 1, 1))),
+        "prev_exists": jnp.full((b,), prev_exists, jnp.float32),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="ToC3D_faster_1600")
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    from toc3d_tpu.configs import get_config
+    from toc3d_tpu.models.detector import init_detector, init_state, make_infer_fn
+
+    cfg = get_config(args.config)
+    h, w = cfg.pad_shape
+    b, n = args.batch, 6
+
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    state = init_state(b, cfg)
+
+    step = make_infer_fn(cfg)
+    rng = np.random.RandomState(0)
+
+    frames = [make_frame(rng, b, n, h, w, 0.0 if i == 0 else 1.0)
+              for i in range(4)]
+
+    # warmup (compile + cache); np.asarray forces real completion — the
+    # axon tunnel's block_until_ready does not block reliably.
+    for i in range(args.warmup):
+        state, det = step(params, state, frames[i % len(frames)])
+    np.asarray(det.scores)
+
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        state, det = step(params, state, frames[i % len(frames)])
+        np.asarray(det.scores)  # per-frame host fetch, like real eval
+    dt = time.perf_counter() - t0
+
+    fps = args.frames * b / dt
+    print(json.dumps({
+        "metric": f"{args.config} 6-view frames/sec/chip",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -162,6 +162,44 @@ def infer_step(params, cfg: DetectorConfig, state: DetectorState, frame,
     return DetectorState(memory=new_memory), decoded
 
 
+def head_step(params, cfg: DetectorConfig, state: DetectorState, feats,
+              frame):
+    """Head + decode given precomputed neck features (second phase of the
+    two-program streaming step, see make_infer_fn)."""
+    data = {k: frame[k] for k in ("intrinsics", "img2lidar", "timestamp",
+                                  "ego_pose", "ego_pose_inv", "prev_exists")}
+    data["pad_shape"] = cfg.pad_shape
+    outs, new_memory = head_forward(params["pts_bbox_head"], cfg.head, feats,
+                                    data, state.memory, topk_indexes=None)
+    decoded = nms_free_decode(outs["all_cls_scores"], outs["all_bbox_preds"],
+                              cfg.head.num_classes, cfg.head.max_decode,
+                              cfg.head.post_center_range)
+    decoded = decoded._replace(bboxes=to_bottom_center(decoded.bboxes))
+    return DetectorState(memory=new_memory), decoded
+
+
+def make_infer_fn(cfg: DetectorConfig):
+    """Build the streaming inference callable as TWO jitted programs
+    (backbone+neck, then head+decode).
+
+    A single fused program kernel-faults on TPU v5e at 1600x800 when the
+    bf16 backbone and fp32 head are compiled into one module (XLA:TPU bug,
+    jax 0.9 via axon; fp32-everything fuses fine, and each half alone is
+    fine). The two-program split matches the reference's own timer
+    granularity (backbone / neck / 3D transformer) and costs only one extra
+    dispatch per frame.
+    """
+    ex = jax.jit(lambda p, img, mem, f: extract_img_feat(p, cfg, img, mem,
+                                                         f)[0])
+    hd = jax.jit(lambda p, s, feats, f: head_step(p, cfg, s, feats, f))
+
+    def infer(params, state: DetectorState, frame):
+        feats = ex(params, frame["img"], state.memory, frame)
+        return hd(params, state, feats, frame)
+
+    return infer
+
+
 def infer_step_with_aux(params, cfg: DetectorConfig, state: DetectorState,
                         frame):
     """infer_step variant that also returns token-selection aux (for the

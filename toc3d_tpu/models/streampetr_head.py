@@ -291,7 +291,10 @@ def position_embeding(params, cfg: StreamPETRHeadConfig, data, centers,
                            data["intrinsics"][..., 1, 1]], axis=-1)
     intrinsic = jnp.abs(intrinsic) / 1e3                       # (B, N, 2)
     # reference quirk: tiled (token j -> view j % N), see module docstring.
-    intrinsic = jnp.tile(intrinsic, (1, hw, 1))                # (B, N*HW, 2)
+    # NOTE: broadcast+reshape, NOT jnp.tile — tile lowers to an hw-operand
+    # concatenate and blows up XLA compile time at 30k tokens.
+    intrinsic = jnp.broadcast_to(intrinsic[:, None], (b, hw, n, 2))
+    intrinsic = intrinsic.reshape(b, hw * n, 2)                # (B, N*HW, 2)
 
     centers_px = centers * jnp.asarray([pad_w, pad_h], centers.dtype)
     centers_px = jnp.broadcast_to(centers_px.reshape(1, 1, hw, 2),
