@@ -1,0 +1,158 @@
+"""Hungarian set matching with static padded shapes.
+
+Parity targets:
+  HungarianAssigner3D -> reference core/bbox/assigners/hungarian_assigner_3d.py
+      cost = FocalLossCost(w=2) + BBox3DL1Cost(w=0.25 via match_costs code
+      weights) over normalized boxes; scipy linear_sum_assignment on CPU.
+  HungarianAssigner2D -> reference core/bbox/assigners/hungarian_assigner_2d.py
+      cost = FocalLossCost(2) + BBoxL1Cost(5, xywh) + IoUCost(giou, 2)
+      + BBox3DL1Cost(10) on normalized centers.
+
+TPU-native shape discipline: GT arrays are padded to a static G with a
+validity mask. Padded columns get +INF-ish cost so the solver fills them
+last; their matches are discarded by masking. The device->host round trip is
+one pure_callback carrying the (batch, Q, G) cost tensor.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .boxes import normalize_bbox
+from .losses import cxcywh_to_xyxy, giou_aligned
+
+BIG_COST = 1e6
+
+
+def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """Host-side batched linear_sum_assignment.
+
+    cost: (B, Q, G) float32; n_valid: (B,) int32.
+    Returns (B, G) int32: for each gt slot, the matched query index
+    (-1 for padded slots).
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.nan_to_num(np.asarray(cost, np.float32), nan=100.0,
+                         posinf=100.0, neginf=-100.0)
+    b, q, g = cost.shape
+    out = np.full((b, g), -1, np.int32)
+    for i in range(int(b)):
+        nv = int(n_valid[i])
+        if nv == 0:
+            continue
+        rows, cols = linear_sum_assignment(cost[i, :, :nv])
+        out[i, cols] = rows.astype(np.int32)
+    return out
+
+
+def hungarian_match(cost, n_valid):
+    """cost: (B, Q, G); n_valid: (B,) -> (B, G) matched query per gt (-1 pad).
+
+    Runs scipy on the host via pure_callback (the reference also assigns on
+    CPU, hungarian_assigner_3d.py:72-82).
+    """
+    b, q, g = cost.shape
+    # matching is non-differentiable; the reference detaches the cost too
+    # (hungarian_assigner_3d.py:73). stop_gradient also keeps the pure
+    # callback out of JVP tracing.
+    cost = jax.lax.stop_gradient(cost)
+    n_valid = jax.lax.stop_gradient(n_valid)
+    return jax.pure_callback(
+        _lsa_host,
+        jax.ShapeDtypeStruct((b, g), jnp.int32),
+        cost, n_valid.astype(jnp.int32),
+        vmap_method="sequential")
+
+
+# ---------------------------------------------------------------------------
+# costs
+# ---------------------------------------------------------------------------
+
+def focal_cls_cost(cls_pred, gt_labels, weight=2.0, alpha=0.25, gamma=2.0,
+                   eps=1e-12):
+    """mmdet FocalLossCost. cls_pred: (Q, C) logits; gt_labels: (G,) int.
+    Returns (Q, G)."""
+    p = jax.nn.sigmoid(cls_pred.astype(jnp.float32))
+    neg = -jnp.log(1 - p + eps) * (1 - alpha) * p ** gamma
+    pos = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    diff = pos - neg                     # (Q, C)
+    return diff[:, gt_labels] * weight
+
+
+def l1_cost(pred, target, weight):
+    """(Q, D), (G, D) -> (Q, G) L1 distance."""
+    return jnp.sum(jnp.abs(pred[:, None] - target[None]), axis=-1) * weight
+
+
+def giou_cost(pred_xyxy, target_xyxy, weight=2.0):
+    """(Q, 4), (G, 4) -> (Q, G) -GIoU."""
+    g = giou_aligned(pred_xyxy[:, None], target_xyxy[None])
+    return -g * weight
+
+
+# ---------------------------------------------------------------------------
+# 3D assignment (StreamPETRHead loss)
+# ---------------------------------------------------------------------------
+
+def assign_3d(bbox_pred, cls_pred, gt_bboxes, gt_labels, gt_valid,
+              match_costs, cls_weight=2.0, reg_weight=0.25,
+              with_velo=False):
+    """Batched 3D Hungarian assignment.
+
+    bbox_pred: (B, Q, 10) normalized code; cls_pred: (B, Q, C) logits;
+    gt_bboxes: (B, G, 9) gravity-center boxes (padded); gt_labels: (B, G);
+    gt_valid: (B, G) bool; match_costs: (10,) code weights.
+    Returns matched_query (B, G) int32 (-1 invalid).
+    """
+    mc = jnp.asarray(match_costs, jnp.float32)
+
+    def per_sample(bp, cp, gb, gl):
+        cls_c = focal_cls_cost(cp, gl, weight=cls_weight)
+        gt_norm = normalize_bbox(gb)
+        bp_w = bp.astype(jnp.float32) * mc
+        gt_w = gt_norm * mc
+        if with_velo:
+            reg_c = l1_cost(bp_w, gt_w, reg_weight)
+        else:
+            reg_c = l1_cost(bp_w[:, :8], gt_w[:, :8], reg_weight)
+        return cls_c + reg_c
+
+    cost = jax.vmap(per_sample)(bbox_pred, cls_pred, gt_bboxes, gt_labels)
+    cost = jnp.where(gt_valid[:, None, :], cost, BIG_COST)
+    n_valid = jnp.sum(gt_valid, axis=-1)
+    matched = hungarian_match(cost, n_valid)
+    return jnp.where(gt_valid, matched, -1)
+
+
+# ---------------------------------------------------------------------------
+# 2D assignment (FocalHead loss)
+# ---------------------------------------------------------------------------
+
+def assign_2d(bbox_pred, cls_pred, centers_pred, gt_bboxes, gt_labels,
+              gt_centers, gt_valid, img_wh):
+    """Batched 2D Hungarian assignment (hungarian_assigner_2d.py:124-146).
+
+    bbox_pred: (B, Q, 4) normalized cxcywh; cls_pred: (B, Q, C) logits;
+    centers_pred: (B, Q, 2) normalized; gt_bboxes: (B, G, 4) xyxy pixels;
+    gt_centers: (B, G, 2) pixels; gt_valid: (B, G); img_wh: (w, h).
+    """
+    w, h = img_wh
+    factor = jnp.asarray([w, h, w, h], jnp.float32)
+
+    def per_sample(bp, cp, ctp, gb, gl, gc):
+        gt_norm_xyxy = gb / factor
+        from .losses import xyxy_to_cxcywh
+        gt_cxcywh = xyxy_to_cxcywh(gt_norm_xyxy)
+        cls_c = focal_cls_cost(cp, gl, weight=2.0)
+        reg_c = l1_cost(bp, gt_cxcywh, 5.0)
+        iou_c = giou_cost(cxcywh_to_xyxy(bp) * factor, gb, 2.0)
+        ctr_c = l1_cost(ctp, gc / factor[:2], 10.0)
+        return cls_c + reg_c + iou_c + ctr_c
+
+    cost = jax.vmap(per_sample)(bbox_pred, cls_pred, centers_pred, gt_bboxes,
+                                gt_labels, gt_centers)
+    cost = jnp.where(gt_valid[:, None, :], cost, BIG_COST)
+    matched = hungarian_match(cost, jnp.sum(gt_valid, axis=-1))
+    return jnp.where(gt_valid, matched, -1)

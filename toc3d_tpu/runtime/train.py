@@ -1,0 +1,176 @@
+"""Training: loss assembly, optimizer, jittable train step.
+
+Capability parity targets:
+  runner glue      -> reference core/apis/mmdet_train.py (custom_train_detector)
+  optimizer        -> AdamW lr 1e-4, backbone lr x0.1, weight decay 0.01,
+                      grad clip 35, linear warmup 500 @ 1/3, cosine to 1e-3
+                      (ToC3D_fast.py:253-271)
+  forward_pts_train / obtain_history_memory -> petr3d.py:262-397 (the shipped
+      ToC3D configs train with queue_length=1 / num_frame_losses=1, i.e. one
+      frame per iteration with the memory bank streamed across iterations by
+      the batch-lane sampler; that is what train_step implements)
+
+TPU-native: bf16 activations via cfg.compute_dtype (no loss scaling —
+reference needs fp16 dynamic scaling, bf16 does not), remat per block /
+decoder layer, gradient averaging implicit in global-batch math under pjit.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.detector import DetectorConfig, extract_img_feat
+from ..models.streampetr_head import (MemoryBank, init_memory, head_forward,
+                                      location_grid)
+from ..models.focal_head import focal_head_forward
+from ..models.focal_head_loss import focal_head_loss
+from ..models.streampetr_loss import streampetr_loss
+from ..models.grid_mask import grid_mask
+from ..models.toc3d_vit import ToC3DViTConfig
+from ..core.dn import prepare_for_dn, dn_reference_points
+from ..core.losses import token_selection_loss
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    memory: MemoryBank
+    step: jnp.ndarray
+
+
+def make_lr_schedule(base_lr=1e-4, warmup_iters=500, warmup_ratio=1.0 / 3,
+                     total_iters=42_000, min_lr_ratio=1e-3):
+    """Linear warmup then cosine annealing (ToC3D_fast.py:265-271)."""
+    warmup = optax.linear_schedule(base_lr * warmup_ratio, base_lr,
+                                   warmup_iters)
+    cosine = optax.cosine_decay_schedule(base_lr,
+                                         max(total_iters - warmup_iters, 1),
+                                         alpha=min_lr_ratio)
+    return optax.join_schedules([warmup, cosine], [warmup_iters])
+
+
+def _is_backbone(path) -> bool:
+    return any(getattr(p, "key", None) == "img_backbone"
+               or getattr(p, "name", None) == "img_backbone" for p in path)
+
+
+def make_optimizer(params, base_lr=1e-4, weight_decay=0.01, clip_norm=35.0,
+                   backbone_lr_mult=0.1, total_iters=42_000,
+                   warmup_iters=500):
+    """AdamW with backbone lr x0.1 (paramwise custom_keys, ToC3D_fast.py:256)."""
+    sched = make_lr_schedule(base_lr, warmup_iters, total_iters=total_iters)
+    sched_bb = make_lr_schedule(base_lr * backbone_lr_mult, warmup_iters,
+                                total_iters=total_iters)
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "backbone" if _is_backbone(path) else "rest", params)
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.multi_transform(
+            {"backbone": optax.adamw(sched_bb, weight_decay=weight_decay),
+             "rest": optax.adamw(sched, weight_decay=weight_decay)},
+            labels),
+    )
+    return tx
+
+
+def init_train_state(params, tx, batch_size: int,
+                     cfg: DetectorConfig) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      memory=init_memory(batch_size, cfg.head),
+                      step=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# loss assembly (one frame — the shipped ToC3D training regime)
+# ---------------------------------------------------------------------------
+
+def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
+                   rng, remat: bool = True):
+    """batch dict (B-leading; G3/G2 are static padded GT counts):
+      img (B, N, H, W, 3), intrinsics/img2lidar (B, N, 4, 4),
+      timestamp (B,), ego_pose/ego_pose_inv (B, 4, 4), prev_exists (B,),
+      gt_bboxes_3d (B, G3, 9) gravity-center, gt_labels_3d (B, G3),
+      gt_valid_3d (B, G3),
+      gt_bboxes_2d (B, N, G2, 4) xyxy px, gt_labels_2d (B, N, G2),
+      gt_centers_2d (B, N, G2, 2), gt_valid_2d (B, N, G2).
+    Returns (total_loss, (loss_dict, new_memory)).
+    """
+    k_mask, k_sel, k_dn, k_drop = jax.random.split(rng, 4)
+    img = batch["img"]
+    b, n = img.shape[:2]
+    if cfg.use_grid_mask:
+        img = grid_mask(k_mask, img)
+
+    feats, aux = extract_img_feat(params, cfg, img, memory, batch,
+                                  rng=k_sel, remat=remat)
+    fh, fw = feats.shape[2], feats.shape[3]
+
+    # 2D aux head (train-time token ranking + losses)
+    locs = location_grid(fh, fw, cfg.stride, *cfg.pad_shape)
+    outs_roi = focal_head_forward(params["img_roi_head"], cfg.focal, feats,
+                                  locs, cfg.focal.train_ratio)
+    topk_indexes = outs_roi["topk_indexes"]
+
+    # denoising prep
+    dn = prepare_for_dn(k_dn, cfg.head, batch["gt_bboxes_3d"],
+                        batch["gt_labels_3d"], batch["gt_valid_3d"])
+    dn_for_head = {
+        "padded_reference_points": dn_reference_points(
+            dn, params["pts_bbox_head"]["reference_points"], b),
+        "attn_mask": dn["attn_mask"],
+        "pad_size": dn["pad_size"],
+    }
+
+    data = {k: batch[k] for k in ("intrinsics", "img2lidar", "timestamp",
+                                  "ego_pose", "ego_pose_inv", "prev_exists")}
+    data["pad_shape"] = cfg.pad_shape
+    outs, new_memory = head_forward(params["pts_bbox_head"], cfg.head, feats,
+                                    data, memory, topk_indexes=topk_indexes,
+                                    dn=dn_for_head, rng=k_drop, remat=remat)
+
+    losses = streampetr_loss(cfg.head, outs, batch["gt_bboxes_3d"],
+                             batch["gt_labels_3d"], batch["gt_valid_3d"],
+                             dn=dn)
+
+    # 2D losses (flatten views)
+    g2 = batch["gt_bboxes_2d"].shape[2]
+    losses.update(focal_head_loss(
+        cfg.focal, outs_roi,
+        batch["gt_bboxes_2d"].reshape(b * n, g2, 4),
+        batch["gt_labels_2d"].reshape(b * n, g2),
+        batch["gt_centers_2d"].reshape(b * n, g2, 2),
+        batch["gt_valid_2d"].reshape(b * n, g2),
+        cfg.pad_shape))
+
+    # token-selection supervision (ToC3D only)
+    if aux is not None and aux["token_masks"]:
+        masks = jnp.stack([m[..., 0] for m in aux["token_masks"]])  # (L,BN,h,w)
+        losses["semantic_loss"] = token_selection_loss(
+            masks, batch["gt_bboxes_2d"].reshape(b * n, g2, 4),
+            batch["gt_valid_2d"].reshape(b * n, g2),
+            patch_size=cfg.backbone.patch_size, loss_weight=5.0)
+
+    total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+    return total, (losses, new_memory)
+
+
+def make_train_step(cfg: DetectorConfig, tx):
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch, rng):
+        (total, (losses, new_memory)), grads = jax.value_and_grad(
+            compute_losses, has_aux=True)(state.params, cfg, state.memory,
+                                          batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_memory = jax.tree_util.tree_map(jax.lax.stop_gradient, new_memory)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, new_memory,
+                          state.step + 1), metrics
+
+    return train_step
