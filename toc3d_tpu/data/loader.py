@@ -1,0 +1,188 @@
+"""Frame/sample builders + threaded prefetching loader.
+
+Produces the device-ready dicts consumed by detector.infer_step /
+runtime.train.compute_losses from NuScenesInfos. Image IO is PIL (the
+reference uses mmcv/cv2); the rest is numpy. A background thread overlaps
+host preprocessing with device compute (the reference leans on torch
+DataLoader workers; this box is 1-core so one prefetch thread suffices).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .nuscenes import (NuScenesInfos, AugConfig, sample_augmentation,
+                       ida_matrix, transform_image, normalize_image,
+                       pad_to_multiple, transform_boxes2d, filter_invisible,
+                       global_rot_scale_trans)
+from .sampler import pad_gt_3d, pad_gt_2d
+
+
+def _load_image_bgr(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        rgb = np.asarray(im.convert("RGB"), np.uint8)
+    return rgb[..., ::-1]
+
+
+def build_eval_frame(infos: NuScenesInfos, index: int, aug: AugConfig,
+                     data_root: Optional[str] = None) -> Dict:
+    """Deterministic eval preprocessing for one sample -> numpy frame dict
+    (B=1 leading axis) + meta for submission formatting."""
+    meta = infos.frame_meta(index)
+    resize, resize_dims, crop, flip = sample_augmentation(aug, training=False)
+    ida = ida_matrix(resize, crop, flip)
+
+    imgs, intrinsics, lidar2img = [], [], []
+    for path, intr, extr in zip(meta["img_paths"], meta["intrinsics"],
+                                meta["extrinsics"]):
+        if data_root is not None and not path.startswith("/"):
+            path = f"{data_root.rstrip('/')}/{path.lstrip('./')}"
+        img = _load_image_bgr(path)
+        img = transform_image(img, resize_dims, crop, flip)
+        img = pad_to_multiple(normalize_image(img), 32)
+        imgs.append(img)
+        intr = intr.copy()
+        intr[:3, :3] = ida @ intr[:3, :3]
+        intrinsics.append(intr)
+        lidar2img.append(intr @ extr)
+
+    img2lidar = [np.linalg.inv(m).astype(np.float32) for m in lidar2img]
+    frame = {
+        "img": np.stack(imgs)[None].astype(np.float32),
+        "intrinsics": np.stack(intrinsics)[None].astype(np.float32),
+        "lidar2img": np.stack(lidar2img)[None].astype(np.float32),
+        "img2lidar": np.stack(img2lidar)[None],
+        "timestamp": np.asarray([meta["timestamp"]], np.float32),
+        "ego_pose": meta["ego_pose"][None],
+        "ego_pose_inv": meta["ego_pose_inv"][None],
+        "prev_exists": np.zeros((1,), np.float32),  # set by streaming loop
+    }
+    info = infos.infos[index]
+    fmt_meta = {
+        "token": info["token"],
+        "scene_token": info["scene_token"],
+        "lidar2ego_rotation": info["lidar2ego_rotation"],
+        "lidar2ego_translation": info["lidar2ego_translation"],
+        "ego2global_rotation": info["ego2global_rotation"],
+        "ego2global_translation": info["ego2global_translation"],
+    }
+    return frame, fmt_meta
+
+
+def build_train_sample(infos: NuScenesInfos, index: int, aug: AugConfig,
+                       rng: np.random.RandomState, max_gt_3d: int = 96,
+                       max_gt_2d: int = 64,
+                       data_root: Optional[str] = None,
+                       pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)) -> Dict:
+    """One augmented training sample (no batch axis) with padded GT.
+
+    Mirrors the train pipeline order (ToC3D_fast.py:186-205):
+    range/name filter -> ResizeCropFlipRot (+2D sync) -> GlobalRotScaleTrans
+    -> normalize -> pad.
+    """
+    meta = infos.frame_meta(index)
+    ann = infos.annotations(index)
+
+    # ObjectRangeFilter (BEV range) + ObjectNameFilter (label >= 0)
+    from ..core.boxes import in_range_bev, limit_yaw
+    boxes3d, labels3d = ann["gt_bboxes_3d"], ann["gt_labels_3d"]
+    keep = in_range_bev(boxes3d, (pc_range[0], pc_range[1], pc_range[3],
+                                  pc_range[4])) & (labels3d >= 0)
+    boxes3d, labels3d = boxes3d[keep], labels3d[keep]
+    boxes3d = limit_yaw(boxes3d, offset=0.5, period=2 * np.pi)
+
+    resize, resize_dims, crop, flip = sample_augmentation(aug, training=True,
+                                                          rng=rng)
+    ida = ida_matrix(resize, crop, flip)
+
+    imgs, intrinsics = [], []
+    b2d, l2d, c2d = [], [], []
+    for v, (path, intr) in enumerate(zip(meta["img_paths"],
+                                         meta["intrinsics"])):
+        if data_root is not None and not path.startswith("/"):
+            path = f"{data_root.rstrip('/')}/{path.lstrip('./')}"
+        img = _load_image_bgr(path)
+        img = transform_image(img, resize_dims, crop, flip)
+        imgs.append(img)
+        intr = intr.copy()
+        intr[:3, :3] = ida @ intr[:3, :3]
+        intrinsics.append(intr)
+
+        bb = ann["bboxes2d"][v].copy()
+        cc = ann["centers2d"][v].copy()
+        ll = ann["labels2d"][v].copy()
+        dd = ann["depths"][v].copy()
+        if len(bb):
+            bb, cc, ll, dd = transform_boxes2d(bb, cc, ll, dd, resize, crop,
+                                               flip, aug.final_dim)
+        if len(bb):
+            bb, cc, ll, dd = filter_invisible(bb, cc, ll, dd, aug.final_dim)
+        b2d.append(bb)
+        l2d.append(ll)
+        c2d.append(cc)
+
+    meta["lidar2img"] = [i @ e for i, e in zip(intrinsics,
+                                               meta["extrinsics"])]
+    meta, boxes3d = global_rot_scale_trans(meta, boxes3d, rng)
+
+    imgs = [pad_to_multiple(normalize_image(im), 32) for im in imgs]
+    img2lidar = [np.linalg.inv(m).astype(np.float32)
+                 for m in meta["lidar2img"]]
+
+    gb3, gl3, gv3 = pad_gt_3d(boxes3d, labels3d, max_gt_3d)
+    gb2, gl2, gc2, gv2 = pad_gt_2d(b2d, l2d, c2d, max_gt_2d)
+
+    return {
+        "img": np.stack(imgs).astype(np.float32),
+        "intrinsics": np.stack(intrinsics).astype(np.float32),
+        "lidar2img": np.stack(meta["lidar2img"]).astype(np.float32),
+        "img2lidar": np.stack(img2lidar),
+        "timestamp": np.float32(meta["timestamp"]),
+        "ego_pose": meta["ego_pose"].astype(np.float32),
+        "ego_pose_inv": meta["ego_pose_inv"].astype(np.float32),
+        "prev_exists": np.float32(infos.prev_exists(index)),
+        "gt_bboxes_3d": gb3,
+        "gt_labels_3d": gl3,
+        "gt_valid_3d": gv3,
+        "gt_bboxes_2d": gb2,
+        "gt_labels_2d": gl2,
+        "gt_centers_2d": gc2,
+        "gt_valid_2d": gv2,
+    }
+
+
+class PrefetchIterator:
+    """Background-thread prefetch over any sample iterator."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self._q = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:   # surfaced on next()
+                self._err = e
+            finally:
+                self._q.put(self._done)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

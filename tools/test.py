@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Streaming evaluation entry point.
+
+Parity target: reference tools/test.py + dist_test.sh — scene-ordered val
+inference, results_nusc.json, mAP/NDS. Single-controller JAX replaces the
+DDP/pickle-gather machinery (SURVEY.md §5).
+
+Usage:
+  python tools/test.py --config ToC3D_faster_1600 \\
+      --ann data/nuscenes/nuscenes2d_temporal_infos_val.pkl \\
+      --data-root data/nuscenes --checkpoint ckpt.pth-or-orbax-dir \\
+      --work-dir work_dirs/eval [--speed-test]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ann", required=True)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--work-dir", default="work_dirs/eval")
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--speed-test", action="store_true",
+                    help="activate the warmup-200 timing protocol "
+                         "(test_time_print equivalent)")
+    args = ap.parse_args()
+
+    import jax
+    from toc3d_tpu.configs import get_config
+    from toc3d_tpu.models.detector import (init_detector, init_state,
+                                           make_infer_fn)
+    from toc3d_tpu.data.nuscenes import NuScenesInfos, AUG_800x320, AUG_1600x800
+    from toc3d_tpu.data.loader import build_eval_frame, PrefetchIterator
+    from toc3d_tpu.runtime.eval import (streaming_eval, write_submission,
+                                        detections_to_nusc_annos)
+    from toc3d_tpu.runtime.timer import GLOBAL_TIMER
+
+    cfg = get_config(args.config)
+    aug = AUG_1600x800 if cfg.pad_shape[0] >= 800 else AUG_800x320
+    infos = NuScenesInfos(args.ann)
+    n = min(len(infos), args.limit) if args.limit else len(infos)
+
+    if args.checkpoint and os.path.isdir(args.checkpoint):
+        from toc3d_tpu.runtime.checkpoint import load_params
+        params = load_params(os.path.abspath(args.checkpoint))
+    elif args.checkpoint:
+        from toc3d_tpu.runtime.checkpoint import (load_torch_state_dict,
+                                                  convert_detector_checkpoint)
+        params = convert_detector_checkpoint(
+            load_torch_state_dict(args.checkpoint), cfg)
+    else:
+        print("WARNING: no checkpoint — evaluating random weights")
+        params = jax.jit(lambda k: init_detector(k, cfg))(
+            jax.random.PRNGKey(0))
+
+    infer = make_infer_fn(cfg)
+    GLOBAL_TIMER.set_activate(args.speed_test)
+
+    def frames():
+        for i in range(n):
+            yield build_eval_frame(infos, i, aug, args.data_root)
+
+    results = {}
+    state = init_state(1, cfg)
+    prev_scene = None
+    import time
+    t_total, timed = 0.0, 0
+    for i, (frame, meta) in enumerate(PrefetchIterator(frames())):
+        pe = 1.0 if meta["scene_token"] == prev_scene else 0.0
+        prev_scene = meta["scene_token"]
+        frame["prev_exists"][:] = pe
+        t0 = time.perf_counter()
+        state, det = infer(params, state, frame)
+        valid = np.asarray(det.valid[0])
+        boxes = np.asarray(det.bboxes[0])[valid]
+        scores = np.asarray(det.scores[0])[valid]
+        labels = np.asarray(det.labels[0])[valid]
+        dt = time.perf_counter() - t0
+        if i >= 200:                       # reference warmup protocol
+            t_total += dt
+            timed += 1
+        results[meta["token"]] = detections_to_nusc_annos(
+            boxes, scores, labels, meta)
+        if (i + 1) % 500 == 0:
+            print(f"{i + 1}/{n} samples")
+
+    path = write_submission(results, args.work_dir)
+    print("wrote", path)
+    if timed:
+        print(f"speed: {timed / t_total:.3f} frames/s "
+              f"({1000 * t_total / timed:.1f} ms/frame, warmup 200)")
+
+    try:
+        from toc3d_tpu.runtime.eval import evaluate_submission
+        metrics = evaluate_submission(path, args.data_root or ".",
+                                      version=infos.version)
+        print(json.dumps(metrics))
+    except ImportError:
+        from toc3d_tpu.runtime import nusc_metrics
+        gt = nusc_metrics.build_gt_from_infos(infos.infos[:n])
+        metrics = nusc_metrics.evaluate(gt, results)
+        print(json.dumps({"mAP": metrics["mAP"], "NDS": metrics["NDS"],
+                          "evaluator": "internal"}))
+
+
+if __name__ == "__main__":
+    main()

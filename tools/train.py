@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Training entry point: streaming single-frame training with the
+batch-lane scene sampler.
+
+Parity target: reference tools/train.py + dist_train.sh +
+core/apis/mmdet_train.py (IterBasedRunner, AdamW backbone lr x0.1, cosine
+schedule, grad clip 35, periodic checkpointing). DP over a jax 'data' mesh
+replaces DDP/NCCL.
+
+Usage:
+  python tools/train.py --config ToC3D_fast \\
+      --ann data/nuscenes/nuscenes2d_temporal_infos_train.pkl \\
+      --data-root data/nuscenes --iters 42195 --batch-size 2 \\
+      [--load-from ckpt.pth] [--work-dir work_dirs/toc3d_fast]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ann", required=True)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--work-dir", default="work_dirs/train")
+    ap.add_argument("--iters", type=int, default=42195)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seq-split-num", type=int, default=2)
+    ap.add_argument("--load-from", default=None)
+    ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--checkpoint-interval", type=int, default=1758)
+    ap.add_argument("--log-interval", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from toc3d_tpu.configs import get_config
+    from toc3d_tpu.models.detector import init_detector
+    from toc3d_tpu.parallel.mesh import make_mesh
+    from toc3d_tpu.runtime.train import (make_optimizer, init_train_state,
+                                         make_train_step)
+    from toc3d_tpu.runtime.checkpoint import save_params, load_params
+    from toc3d_tpu.data.nuscenes import (NuScenesInfos, AUG_800x320,
+                                         AUG_1600x800)
+    from toc3d_tpu.data.loader import build_train_sample, PrefetchIterator
+    from toc3d_tpu.data.sampler import (InfiniteGroupEachSampleInBatchSampler,
+                                        collate_batch)
+
+    cfg = get_config(args.config)
+    aug = AUG_1600x800 if cfg.pad_shape[0] >= 800 else AUG_800x320
+    infos = NuScenesInfos(args.ann, seq_split_num=args.seq_split_num)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    global_batch = args.batch_size * n_dev
+    print(f"devices={n_dev} global_batch={global_batch}")
+
+    if args.load_from:
+        from toc3d_tpu.runtime.checkpoint import (load_torch_state_dict,
+                                                  convert_detector_checkpoint)
+        params = convert_detector_checkpoint(
+            load_torch_state_dict(args.load_from), cfg)
+    else:
+        params = jax.jit(lambda k: init_detector(k, cfg))(
+            jax.random.PRNGKey(args.seed))
+
+    tx = make_optimizer(params, base_lr=args.lr, total_iters=args.iters)
+    state = init_train_state(params, tx, global_batch, cfg)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    state = state._replace(memory=jax.device_put(
+        state.memory, NamedSharding(mesh, P("data"))))
+    step_fn = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+
+    sampler = InfiniteGroupEachSampleInBatchSampler(
+        infos.flag, global_batch, num_replicas=1, rank=0, seed=args.seed)
+    rng = np.random.RandomState(args.seed)
+
+    def batches():
+        for idxs in sampler:
+            samples = [build_train_sample(infos, i, aug, rng,
+                                          max_gt_3d=cfg.head.dn_max_gt,
+                                          data_root=args.data_root)
+                       for i in idxs]
+            yield collate_batch(samples)
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    data_sharding = NamedSharding(mesh, P("data"))
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    it = PrefetchIterator(batches(), depth=2)
+    for step in range(int(state.step), args.iters):
+        batch = next(it)
+        batch = jax.device_put(batch, data_sharding)
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, batch, k)
+        if (step + 1) % args.log_interval == 0:
+            total = float(metrics["total_loss"])
+            gn = float(metrics["grad_norm"])
+            dt = (time.time() - t0) / args.log_interval
+            t0 = time.time()
+            print(f"iter {step + 1}/{args.iters} loss {total:.4f} "
+                  f"grad_norm {gn:.2f} {dt:.2f}s/iter")
+        if (step + 1) % args.checkpoint_interval == 0:
+            path = os.path.abspath(
+                os.path.join(args.work_dir, f"iter_{step + 1}"))
+            save_params(jax.device_get(state.params), path)
+            print("saved", path)
+
+    path = os.path.abspath(os.path.join(args.work_dir, "final"))
+    save_params(jax.device_get(state.params), path)
+    print("saved", path)
+
+
+if __name__ == "__main__":
+    main()
