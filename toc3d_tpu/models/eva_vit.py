@@ -50,6 +50,9 @@ class EVAViTConfig:
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     drop_path_rate: float = 0.0      # eval path ignores droppath (identity)
+    # route the attention core through the fused Pallas TPU kernel
+    # (inference path; training needs the XLA path until a custom VJP lands)
+    use_pallas_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -111,7 +114,12 @@ def init_eva_vit(key, cfg: EVAViTConfig):
 # ---------------------------------------------------------------------------
 
 def patch_embed(p, x, patch_size: int):
-    """x: (B, H, W, 3) -> (B, H/ps, W/ps, C)."""
+    """x: (B, H, W, 3) -> (B, H/ps, W/ps, C).
+
+    Kept as a conv: a patch-extract reshape + matmul variant was tried and
+    the (B, h, ps, w, ps, 3) transpose costs ~125 ms at 1600x800 on TPU
+    (tiny trailing dim), dwarfing the conv's ~6 ms.
+    """
     assert x.shape[1] % patch_size == 0 and x.shape[2] % patch_size == 0, (
         f"image size {x.shape[1:3]} must be a multiple of patch_size="
         f"{patch_size}; pad inputs (PadMultiViewImage pads to /32)")
@@ -124,7 +132,8 @@ def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables):
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=LN_EPS)
     xw, padded = window_partition(x, window_size)
-    xw = eva_attention(p["attn"], xw, cfg.num_heads, rope_tables)
+    xw = eva_attention(p["attn"], xw, cfg.num_heads, rope_tables,
+                       use_pallas=cfg.use_pallas_attention)
     x = window_unpartition(xw, window_size, padded, (h, w))
     x = shortcut + x
     x = x + swiglu(p["mlp"], layer_norm(p["norm2"], x, eps=LN_EPS), ln_eps=LN_EPS)
