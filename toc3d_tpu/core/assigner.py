@@ -47,18 +47,36 @@ def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
     return out
 
 
-def hungarian_match(cost, n_valid):
+DEFAULT_IMPL = None  # resolved lazily: scipy callback on CPU, auction on TPU
+
+
+def resolve_impl() -> str:
+    global DEFAULT_IMPL
+    if DEFAULT_IMPL is None:
+        DEFAULT_IMPL = ("callback" if jax.default_backend() == "cpu"
+                        else "auction")
+    return DEFAULT_IMPL
+
+
+def hungarian_match(cost, n_valid, impl=None):
     """cost: (B, Q, G); n_valid: (B,) -> (B, G) matched query per gt (-1 pad).
 
-    Runs scipy on the host via pure_callback (the reference also assigns on
-    CPU, hungarian_assigner_3d.py:72-82).
+    impl='callback': scipy linear_sum_assignment on the host via
+    pure_callback (exactly the reference's CPU matching,
+    hungarian_assigner_3d.py:72-82). impl='auction': device-native Bertsekas
+    auction (core/auction.py) — required on the axon TPU backend, which does
+    not support host callbacks. Default: callback on CPU, auction on TPU.
     """
+    impl = impl or resolve_impl()
     b, q, g = cost.shape
     # matching is non-differentiable; the reference detaches the cost too
     # (hungarian_assigner_3d.py:73). stop_gradient also keeps the pure
     # callback out of JVP tracing.
     cost = jax.lax.stop_gradient(cost)
     n_valid = jax.lax.stop_gradient(n_valid)
+    if impl == "auction":
+        from .auction import hungarian_match_auction
+        return hungarian_match_auction(cost, n_valid)
     return jax.pure_callback(
         _lsa_host,
         jax.ShapeDtypeStruct((b, g), jnp.int32),
