@@ -31,12 +31,20 @@ def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
     cost: (B, Q, G) float32; n_valid: (B,) int32.
     Returns (B, G) int32: for each gt slot, the matched query index
     (-1 for padded slots).
-    """
-    from scipy.optimize import linear_sum_assignment
 
+    Prefers the native C++ solver (toc3d_tpu/native/lap.cpp, one C call for
+    the whole batch); falls back to per-sample scipy.
+    """
     cost = np.nan_to_num(np.asarray(cost, np.float32), nan=100.0,
                          posinf=100.0, neginf=-100.0)
     b, q, g = cost.shape
+
+    from ..native import lap_batched
+    native = lap_batched(np.swapaxes(cost, 1, 2), np.asarray(n_valid))
+    if native is not None:
+        return native
+
+    from scipy.optimize import linear_sum_assignment
     out = np.full((b, g), -1, np.int32)
     for i in range(int(b)):
         nv = int(n_valid[i])

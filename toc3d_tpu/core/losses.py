@@ -143,6 +143,19 @@ def giou_loss(pred_xyxy, target_xyxy, weight, avg_factor, loss_weight=2.0):
     return loss_weight * weight_reduce_sum(loss, weight, avg_factor)
 
 
+def kl_div_loss(pred_log_probs, target_probs, weight=None, avg_factor=None,
+                loss_weight=1.0):
+    """KL divergence (reference models/losses/kl_loss.py — registered for
+    distillation experiments; batchmean semantics)."""
+    loss = target_probs * (jnp.log(jnp.clip(target_probs, 1e-12))
+                           - pred_log_probs)
+    if weight is not None:
+        loss = loss * weight
+    denom = (jnp.maximum(avg_factor, 1e-12) if avg_factor is not None
+             else pred_log_probs.shape[0])
+    return loss_weight * jnp.sum(loss) / denom
+
+
 # ---------------------------------------------------------------------------
 # token selection loss
 # ---------------------------------------------------------------------------
