@@ -156,6 +156,24 @@ def build_train_sample(infos: NuScenesInfos, index: int, aug: AugConfig,
     }
 
 
+def build_train_sequence(infos: NuScenesInfos, index: int, queue_length: int,
+                         aug: AugConfig, rng: np.random.RandomState,
+                         **kw) -> Dict:
+    """Sliding-window sample: frames [index-queue_length+1 .. index] stacked
+    with a T axis (reference prepare_train_data, nuscenes_dataset.py:99-133;
+    prev_exists per position derives from scene continuity)."""
+    idxs = [max(0, i) for i in range(index - queue_length + 1, index + 1)]
+    samples = []
+    prev_scene = None
+    for i in idxs:
+        s = build_train_sample(infos, i, aug, rng, **kw)
+        scene = infos.infos[i]["scene_token"]
+        s["prev_exists"] = np.float32(scene == prev_scene)
+        prev_scene = scene
+        samples.append(s)
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
 class PrefetchIterator:
     """Background-thread prefetch over any sample iterator."""
 

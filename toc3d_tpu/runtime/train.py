@@ -88,7 +88,7 @@ def init_train_state(params, tx, batch_size: int,
 # ---------------------------------------------------------------------------
 
 def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
-                   rng, remat: bool = True):
+                   rng, remat: bool = True, with_losses: bool = True):
     """batch dict (B-leading; G3/G2 are static padded GT counts):
       img (B, N, H, W, 3), intrinsics/img2lidar (B, N, 4, 4),
       timestamp (B,), ego_pose/ego_pose_inv (B, 4, 4), prev_exists (B,),
@@ -131,6 +131,11 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
                                     data, memory, topk_indexes=topk_indexes,
                                     dn=dn_for_head, rng=k_drop, remat=remat)
 
+    if not with_losses:
+        # history frame: memory update only (petr3d.py forward_pts_train
+        # with return_losses=False)
+        return jnp.zeros((), jnp.float32), ({}, new_memory)
+
     losses = streampetr_loss(cfg.head, outs, batch["gt_bboxes_3d"],
                              batch["gt_labels_3d"], batch["gt_valid_3d"],
                              dn=dn)
@@ -155,6 +160,44 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
 
     total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
     return total, (losses, new_memory)
+
+
+def compute_losses_multiframe(params, cfg: DetectorConfig,
+                              memory: MemoryBank, batch, rng,
+                              remat: bool = True):
+    """Sliding-window multi-frame training (reference petr3d.py:262-308,
+    obtain_history_memory / forward_train with queue_length > 1).
+
+    batch arrays carry a T axis after B: img (B, T, N, H, W, 3), intrinsics
+    (B, T, N, 4, 4), timestamp (B, T), ego_pose[_inv] (B, T, 4, 4),
+    prev_exists (B, T), gt_* (B, T, ...). Frames earlier than the last
+    cfg.num_frame_backbone_grads are run under stop_gradient (the reference
+    runs them in no_grad eval mode); losses come from the last
+    cfg.num_frame_losses frames, keyed 'frame_{t}_...'.
+    """
+    t_total = batch["img"].shape[1]
+    n_grad = cfg.num_frame_head_grads
+    n_loss = cfg.num_frame_losses
+    losses = {}
+    totals = []
+    for t in range(t_total):
+        frame = {k: (v[:, t] if k != "pad_shape" else v)
+                 for k, v in batch.items()}
+        rng, k = jax.random.split(rng)
+        grad_frame = t >= t_total - n_grad
+        loss_frame = t >= t_total - n_loss
+        total, (ld, memory) = compute_losses(params, cfg, memory, frame, k,
+                                             remat=remat,
+                                             with_losses=loss_frame)
+        if not grad_frame:
+            total = jax.lax.stop_gradient(total)
+            ld = jax.tree_util.tree_map(jax.lax.stop_gradient, ld)
+            memory = jax.tree_util.tree_map(jax.lax.stop_gradient, memory)
+        if loss_frame:
+            totals.append(total)
+            for k2, v in ld.items():
+                losses[f"frame_{t}_{k2}"] = v
+    return sum(totals), (losses, memory)
 
 
 def make_train_step(cfg: DetectorConfig, tx):
