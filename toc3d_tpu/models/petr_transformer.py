@@ -99,13 +99,15 @@ def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
     else:
         tk, tp = query, query_pos
     out, _ = mha(p["self_attn"], query + query_pos, tk + tp, tk,
-                 cfg.num_heads, attn_mask=self_attn_mask)
+                 cfg.num_heads, attn_mask=self_attn_mask,
+                 dropout_rate=cfg.dropout, dropout_rng=r(3))
     query = query + _dropout(out, r(0), cfg.dropout, 0)
     query = layer_norm(p["norm0"], query, eps=LN_EPS)
 
     # cross attention to image tokens
     out, attn_w = mha(p["cross_attn"], query + query_pos, key + key_pos, value,
-                      cfg.num_heads, return_weights=True)
+                      cfg.num_heads, return_weights=True,
+                      dropout_rate=cfg.dropout, dropout_rng=r(4))
     query = query + _dropout(out, r(1), cfg.dropout, 1)
     query = layer_norm(p["norm1"], query, eps=LN_EPS)
 

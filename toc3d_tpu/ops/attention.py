@@ -124,12 +124,14 @@ def init_mha(key, embed_dim, num_heads):
 
 
 def mha(p, query, key, value, num_heads: int,
-        attn_mask: Optional[jnp.ndarray] = None, return_weights: bool = False):
+        attn_mask: Optional[jnp.ndarray] = None, return_weights: bool = False,
+        dropout_rate: float = 0.0, dropout_rng=None):
     """Batch-first multi-head attention.
 
     query: (B, Q, C); key/value: (B, K, C).
     attn_mask: bool (Q, K) or (B, Q, K), True = masked out (torch semantics);
-    or additive float mask.
+    or additive float mask. dropout_rate/dropout_rng: attention-probability
+    dropout (torch MHA attn_drop), applied only when an rng is given.
     Returns (out, attn_weights-mean-over-heads or None).
     """
     b, nq, c = query.shape
@@ -152,6 +154,10 @@ def mha(p, query, key, value, num_heads: int,
             bias = bias[:, None]
         logits = logits + bias
     weights = jax.nn.softmax(logits, axis=-1)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, weights.shape)
+        weights = jnp.where(mask, weights / keep, 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
     out = linear(p["out_proj"], _merge_heads(out))
     if return_weights:

@@ -303,6 +303,65 @@ def _to_jnp(tree):
 
 
 # ---------------------------------------------------------------------------
+# public pretrained backbone warm-start (EVA-02 / SAM / MAE / ViTDet)
+# ---------------------------------------------------------------------------
+
+# prefix rewrites from the reference's warm-start shims (tools/train.py:
+# 260-340): SAM image_encoder, ViTDet backbone.net, MAE bare keys, V99 neck.
+PRETRAINED_PREFIX_REWRITES = (
+    ("image_encoder.", "img_backbone."),
+    ("backbone.net.", "img_backbone."),
+    ("module.", ""),
+)
+
+
+def load_backbone_pretrained(params, state_dict: Dict[str, np.ndarray],
+                             depth: int):
+    """Merge a public backbone checkpoint (EVA-02/SAM/MAE naming) into
+    randomly-initialized detector params, non-strict: anything convertible
+    is taken, the rest (selectors, heads, missing blocks) keeps its init.
+
+    Returns (params, report dict with 'loaded'/'missing' key lists).
+    """
+    import jax.numpy as jnp
+
+    sd_flat = {}
+    for k, v in state_dict.items():
+        for old, new in PRETRAINED_PREFIX_REWRITES:
+            if k.startswith(old):
+                k = new + k[len(old):]
+        if not k.startswith("img_backbone."):
+            k = "img_backbone." + k     # MAE checkpoints use bare keys
+        sd_flat[k] = _np(v)
+
+    sd = _SD(sd_flat).sub("img_backbone")
+    backbone = dict(params["img_backbone"])
+    loaded, missing = [], []
+
+    if sd.has("pos_embed"):
+        backbone["pos_embed"] = jnp.asarray(sd.get("pos_embed"))
+        loaded.append("pos_embed")
+    try:
+        backbone["patch_embed"] = _to_jnp(sd.conv("patch_embed.proj"))
+        loaded.append("patch_embed")
+    except KeyError:
+        missing.append("patch_embed")
+
+    blocks = list(backbone["blocks"])
+    for i in range(depth):
+        try:
+            blocks[i] = _to_jnp(convert_eva_block(sd.sub(f"blocks.{i}")))
+            loaded.append(f"blocks.{i}")
+        except KeyError:
+            missing.append(f"blocks.{i}")
+    backbone["blocks"] = blocks
+
+    params = dict(params)
+    params["img_backbone"] = backbone
+    return params, {"loaded": loaded, "missing": missing}
+
+
+# ---------------------------------------------------------------------------
 # orbax save / load
 # ---------------------------------------------------------------------------
 
