@@ -35,16 +35,21 @@ def _rotate_half_roll(x):
 
 def _attn_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
                  scale: float, n_valid: int, use_rope: bool):
-    q = q_ref[0, :, 0, :]            # (N, D)
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+    q = q_ref[0, 0]                  # (N, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     n = q.shape[0]
 
     if use_rope:
-        cos = cos_ref[0].astype(q.dtype)     # (N, D)
-        sin = sin_ref[0].astype(q.dtype)
-        q = q * cos + _rotate_half_roll(q) * sin
-        k = k * cos + _rotate_half_roll(k) * sin
+        # rope in f32: Mosaic's rotate (used by _rotate_half_roll) only
+        # supports 32-bit data, and f32 also matches the XLA path's
+        # precision for the table product
+        cos = cos_ref[0].astype(jnp.float32)     # (N, D)
+        sin = sin_ref[0].astype(jnp.float32)
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+        q = (q32 * cos + _rotate_half_roll(q32) * sin).astype(q.dtype)
+        k = (k32 * cos + _rotate_half_roll(k32) * sin).astype(k.dtype)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)   # (N, N)
@@ -58,7 +63,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
     p = (p / l).astype(v.dtype)
     o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)   # (N, D)
-    o_ref[0, :, 0, :] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -83,13 +88,16 @@ def fused_window_attention_nc(q, k, v, cos, sin, num_heads: int,
         cos = jnp.zeros((n, d), jnp.float32)
         sin = cos
 
-    q4 = q.reshape(b, n, h, d)       # bitcast views, no data movement
-    k4 = k.reshape(b, n, h, d)
-    v4 = v.reshape(b, n, h, d)
+    # (B, N, C) -> (B, H, N, D); the transpose is a real copy, but Mosaic's
+    # tiling rules require the token axis in the second-to-last block dim
+    # (block (1, 1, n, d) with d == array dim).
+    q4 = jnp.swapaxes(q.reshape(b, n, h, d), 1, 2)
+    k4 = jnp.swapaxes(k.reshape(b, n, h, d), 1, 2)
+    v4 = jnp.swapaxes(v.reshape(b, n, h, d), 1, 2)
 
     kernel = functools.partial(_attn_kernel, scale=scale, n_valid=n_valid,
                                use_rope=use_rope)
-    spec = pl.BlockSpec((1, n, 1, d), lambda i, j: (i, 0, j, 0),
+    spec = pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0),
                         memory_space=pltpu.VMEM)
     if cos.ndim == 3:   # per-window tables (token-compressed slow path)
         tab = pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
@@ -104,7 +112,7 @@ def fused_window_attention_nc(q, k, v, cos, sin, num_heads: int,
         grid=(b, h),
         in_specs=[spec, spec, spec, tab, tab],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * n * d,
@@ -112,7 +120,7 @@ def fused_window_attention_nc(q, k, v, cos, sin, num_heads: int,
             transcendentals=b * h * n * n,
         ),
     )(q4, k4, v4, cos, sin)
-    return out.reshape(b, n, c)
+    return jnp.swapaxes(out, 1, 2).reshape(b, n, c)
 
 
 def tile_rope_tables(cos, sin, num_heads: int, n: int, select_idx=None):
