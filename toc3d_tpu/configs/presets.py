@@ -51,8 +51,9 @@ def _vit_b_kwargs():
         pretrain_use_cls_token=True)
 
 
-def _head(compute_1600=False) -> StreamPETRHeadConfig:
+def _head(compute_dtype="float32") -> StreamPETRHeadConfig:
     return StreamPETRHeadConfig(
+        compute_dtype=compute_dtype,
         num_classes=10, in_channels=256, embed_dims=256, stride=16,
         num_query=644, memory_len=1024, topk_proposals=256,
         num_propagated=256, with_ego_pos=True, scalar=10, noise_scale=1.0,
@@ -70,7 +71,7 @@ def _detector(backbone, pad_shape, compute_dtype="bfloat16",
     return DetectorConfig(
         backbone=backbone,
         neck=CPFPNConfig(in_channels=(in_ch,), out_channels=256, num_outs=2),
-        head=_head(),
+        head=_head(compute_dtype),
         focal=FocalHeadConfig(num_classes=10, in_channels=256, embed_dims=256,
                               stride=16),
         use_grid_mask=True, aux_2d_only=True, stride=16, position_level=0,

@@ -76,6 +76,10 @@ class StreamPETRHeadConfig:
                                             10.0)
     # static DN padding (reference uses dynamic max(num_gt); we fix it)
     dn_max_gt: int = 96
+    # decoder compute dtype: 'float32' (reference eval precision) or
+    # 'bfloat16' (cross-attn logits/softmax stay f32 via
+    # preferred_element_type; bank and box outputs stay f32)
+    compute_dtype: str = "float32"
 
     @property
     def position_dim(self) -> int:
@@ -440,10 +444,17 @@ def head_forward(params, cfg: StreamPETRHeadConfig, feats, data,
      rec_ego_pose) = temporal_alignment(params, cfg, bank, query_pos, tgt,
                                         reference_points)
 
+    if cfg.compute_dtype == "bfloat16":
+        cast = lambda t: t.astype(jnp.bfloat16)
+        tgt, memory, query_pos, pos_embed = map(
+            cast, (tgt, memory, query_pos, pos_embed))
+        temp_memory = cast(temp_memory) if temp_memory is not None else None
+        temp_pos = cast(temp_pos) if temp_pos is not None else None
+
     outs_dec, _ = decoder_forward(
         params["decoder"], cfg.decoder, tgt, memory, query_pos, pos_embed,
         attn_mask, temp_memory, temp_pos, rng=rng, remat=remat)
-    outs_dec = jnp.nan_to_num(outs_dec)
+    outs_dec = jnp.nan_to_num(outs_dec.astype(jnp.float32))
 
     # shared cls/reg branches, iterative sigmoid refinement around the fixed
     # per-frame reference (streampetr_head.py:585-600)

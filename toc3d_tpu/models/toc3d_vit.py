@@ -191,7 +191,7 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                 rng, sel_rng = jax.random.split(rng)
             scores, pred, attn = selector_score(
                 params["score_predictor"][seg], scfg, x, masks, motion_ctx,
-                prev_exists)
+                prev_exists, train_blend=rng is not None)
             masks = soft_mask(pred, sel_rng).reshape(bn, h, w, 1)
             # whole-image keep/drop split (for vis + parity checks)
             ks, ds, ki, di = sample_topk(scores, scfg.ratio)

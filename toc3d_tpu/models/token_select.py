@@ -171,7 +171,7 @@ def query_based_score(p, cfg: SelectorConfig, tokens, queries):
 
 
 def selector_score(p, cfg: SelectorConfig, tokens_hw, mask, motion_ctx,
-                   prev_exists):
+                   prev_exists, train_blend: bool = False):
     """Full motion-aware scoring with first-frame fallback blend.
 
     tokens_hw: (BN, H, W, C); mask: (BN, H, W, 1) soft mask or None;
@@ -197,9 +197,15 @@ def selector_score(p, cfg: SelectorConfig, tokens_hw, mask, motion_ctx,
     b = prev_exists.shape[0]
     pe = prev_exists.reshape(b, 1, 1, 1).astype(q_score.dtype)
     pe = jnp.broadcast_to(pe, (b, bn // b, 1, 1)).reshape(bn, 1, 1)
-    # reference train-time blend keeps only channel 0 of the mlp score
-    # (toc3d_utils.py:264-266) — broadcast over both channels.
-    pred = mlp_score[..., :1] * (1.0 - pe) + q_score * pe
+    if train_blend:
+        # reference train-time blend keeps only channel 0 of the mlp score
+        # (toc3d_utils.py:264-266) — broadcast over both channels
+        pred = mlp_score[..., :1] * (1.0 - pe) + q_score * pe
+    else:
+        # eval first-frame fallback uses the full 2-channel mlp score
+        # (toc3d_utils.py:269-273); blended per-lane instead of a python
+        # branch so the step stays jittable
+        pred = mlp_score * (1.0 - pe) + q_score * pe
     return pred[..., 0], pred, attn
 
 
