@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--speed-test", action="store_true",
                     help="activate the warmup-200 timing protocol "
                          "(test_time_print equivalent)")
+    ap.add_argument("--token-vis", type=int, default=0, metavar="N",
+                    help="write kept/dropped token PNGs for the first N "
+                         "samples (token_vis_ToC3D config equivalent)")
+    ap.add_argument("--vis-out", default="token_vis")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +83,20 @@ def main():
         prev_scene = meta["scene_token"]
         frame["prev_exists"][:] = pe
         t0 = time.perf_counter()
-        state, det = infer(params, state, frame)
+        if i < args.token_vis and cfg.is_toc3d:
+            import jax as _jax
+            from toc3d_tpu.models.detector import infer_step_with_aux
+            from toc3d_tpu.runtime.token_vis import token_selection_vis
+            state, det, aux = _jax.jit(
+                lambda p, s, f: infer_step_with_aux(p, cfg, s, f))(
+                params, state, frame)
+            token_selection_vis(
+                np.asarray(frame["img"][0]),
+                [np.asarray(m) for m in aux["token_masks"]],
+                os.path.join(args.vis_out, str(i)),
+                patch_size=cfg.backbone.patch_size)
+        else:
+            state, det = infer(params, state, frame)
         valid = np.asarray(det.valid[0])
         boxes = np.asarray(det.bboxes[0])[valid]
         scores = np.asarray(det.scores[0])[valid]
