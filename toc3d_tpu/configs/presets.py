@@ -37,6 +37,7 @@ def _vit_l_kwargs():
         img_size=320, patch_size=16, embed_dim=1024, depth=24, num_heads=16,
         mlp_ratio=4 * 2 / 3, window_size=16, global_window_size=20,
         global_attn_indexes=(2, 5, 8, 11, 14, 17, 20, 23),
+        drop_path_rate=0.3,
         pt_hw_seq_len=16, intp_freq=True, pretrain_img_size=224,
         pretrain_use_cls_token=True)
 
@@ -47,6 +48,7 @@ def _vit_b_kwargs():
         img_size=320, patch_size=16, embed_dim=768, depth=12, num_heads=12,
         mlp_ratio=4 * 2 / 3, window_size=16, global_window_size=20,
         global_attn_indexes=(2, 5, 8, 11),
+        drop_path_rate=0.3,
         pt_hw_seq_len=16, intp_freq=True, pretrain_img_size=224,
         pretrain_use_cls_token=True)
 

@@ -117,7 +117,8 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
             remat=remat)
     else:
         feats = eva_vit_forward(params["img_backbone"], x, cfg.backbone,
-                                rope_tables=rope_tables, remat=remat)
+                                rope_tables=rope_tables, remat=remat,
+                                rng=rng)
 
     outs = cpfpn_forward(params["img_neck"], feats, cfg.neck)
     f = outs[cfg.position_level]

@@ -126,8 +126,24 @@ def patch_embed(p, x, patch_size: int):
     return conv2d(p, x, stride=patch_size, padding="VALID")
 
 
-def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables):
-    """Plain (non-compressed) EVA block. x: (B, H, W, C)."""
+def drop_path(rng, x, rate: float):
+    """Stochastic depth on the residual delta (timm DropPath semantics:
+    per-sample bernoulli, rescaled). Identity when rng is None or rate 0."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables,
+                  dp_rate: float = 0.0, rng=None):
+    """Plain (non-compressed) EVA block. x: (B, H, W, C).
+
+    dp_rate/rng: train-time stochastic depth (Block.forward drop_path,
+    eva_vit.py:262-263; the reference skips drop_path in the accelerated
+    slow path, toc3d_eva_vit.py:366-386, and so do we)."""
     b, h, w, c = x.shape
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=LN_EPS)
@@ -135,20 +151,34 @@ def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables):
     xw = eva_attention(p["attn"], xw, cfg.num_heads, rope_tables,
                        use_pallas=cfg.use_pallas_attention)
     x = window_unpartition(xw, window_size, padded, (h, w))
-    x = shortcut + x
-    x = x + swiglu(p["mlp"], layer_norm(p["norm2"], x, eps=LN_EPS), ln_eps=LN_EPS)
+    r1 = None if rng is None else jax.random.fold_in(rng, 0)
+    r2 = None if rng is None else jax.random.fold_in(rng, 1)
+    x = shortcut + drop_path(r1, x, dp_rate)
+    x = x + drop_path(
+        r2, swiglu(p["mlp"], layer_norm(p["norm2"], x, eps=LN_EPS),
+                   ln_eps=LN_EPS), dp_rate)
     return x
 
 
+def drop_path_rates(cfg: EVAViTConfig):
+    """Linear stochastic-depth ramp (eva_vit.py:366)."""
+    if cfg.depth == 1:
+        return [0.0]
+    return [cfg.drop_path_rate * i / (cfg.depth - 1)
+            for i in range(cfg.depth)]
+
+
 def eva_vit_forward(params, x, cfg: EVAViTConfig, rope_tables=None,
-                    remat: bool = False):
+                    remat: bool = False, rng=None):
     """x: (B, H, W, 3) images (normalized) -> (B, h, w, C) features.
 
     rope_tables: optional precomputed (win, glb) pair from make_rope_tables.
+    rng: enables train-time stochastic depth (drop_path_rate ramp).
     """
     if rope_tables is None:
         rope_tables = make_rope_tables(cfg)
     rope_win, rope_glb = rope_tables
+    dprs = drop_path_rates(cfg)
 
     x = patch_embed(params["patch_embed"], x, cfg.patch_size)
     if cfg.use_abs_pos:
@@ -159,8 +189,9 @@ def eva_vit_forward(params, x, cfg: EVAViTConfig, rope_tables=None,
         is_global = i in cfg.global_attn_indexes
         ws = cfg.global_window_size if is_global else cfg.window_size
         tables = rope_glb if is_global else rope_win
+        brng = None if rng is None else jax.random.fold_in(rng, i)
         fwd = block_forward
         if remat:
-            fwd = jax.checkpoint(block_forward, static_argnums=(2, 3))
-        x = fwd(params["blocks"][i], x, cfg, ws, tables)
+            fwd = jax.checkpoint(block_forward, static_argnums=(2, 3, 5))
+        x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng)
     return x

@@ -30,7 +30,7 @@ from ..ops.gather import batch_index_select, batch_index_fill, merge_tokens
 from ..ops.resize import resize_abs_pos
 from ..ops.window import window_partition, window_unpartition
 from .eva_vit import (EVAViTConfig, LN_EPS, init_eva_vit, make_rope_tables,
-                      patch_embed, block_forward)
+                      patch_embed, block_forward, drop_path_rates)
 from .token_select import (SelectorConfig, init_selector, selector_score,
                            sample_topk, soft_mask)
 
@@ -176,6 +176,7 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                                (x.shape[1], x.shape[2])).astype(x.dtype)
 
     bn, h, w, c = x.shape
+    dprs = drop_path_rates(cfg)
     masks = jnp.ones((bn, h, w, 1), x.dtype)
     aux = {"token_masks": [], "attn_scores": [], "keep_idx": [], "drop_idx": [],
            "scores": []}
@@ -214,9 +215,10 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                                      static_argnums=(3, 4, 5))
             x = fwd(params["blocks"][i], x, scores, cfg, ws, ratio, tables)
         else:
+            brng = None if rng is None else jax.random.fold_in(rng, 1000 + i)
             fwd = block_forward
             if remat:
-                fwd = jax.checkpoint(block_forward, static_argnums=(2, 3))
-            x = fwd(params["blocks"][i], x, cfg, ws, tables)
+                fwd = jax.checkpoint(block_forward, static_argnums=(2, 3, 5))
+            x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng)
 
     return x, aux

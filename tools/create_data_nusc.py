@@ -2,21 +2,20 @@
 """nuScenes temporal info-pkl creation (with embedded 2D annotations).
 
 Parity target: reference tools/create_data_nusc.py +
-tools/data_converter/nuscenes_converter.py (create_nuscenes_infos writing
-nuscenes2d_temporal_infos_{train,val}.pkl: per-sample lidar path, sweeps,
-per-cam calibration + sensor2lidar transforms, ego/lidar pose quaternions,
-3D GT + velocities, and projected 2D boxes/centers/depths).
-
-Requires the nuscenes-devkit and the raw dataset; both are absent from this
-image, so this tool validates availability and delegates. The rest of the
-framework consumes the pkl produced either by this tool or by the
-reference's converter (formats are identical).
+tools/data_converter/nuscenes_converter.py. Reads the raw nuScenes JSON
+tables directly (devkit-free, toc3d_tpu/data/convert.py); the official
+train/val split is taken from the devkit when installed, else pass
+--val-scenes FILE (one scene name per line) or everything lands in the
+val pkl.
 
 Usage: python tools/create_data_nusc.py --data-root data/nuscenes \\
-           --version v1.0-trainval
+           --version v1.0-trainval [--val-scenes val_scenes.txt]
 """
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -24,19 +23,21 @@ def main():
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--version", default="v1.0-trainval")
     ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--val-scenes", default=None,
+                    help="file with one val scene name per line")
     args = ap.parse_args()
 
-    try:
-        import nuscenes  # noqa: F401
-    except ImportError:
-        sys.exit("nuscenes-devkit is required to build info pkls from raw "
-                 "data (pip install nuscenes-devkit). Pre-built "
-                 "nuscenes2d_temporal_infos_{train,val}.pkl files from the "
-                 "reference converter are consumed as-is.")
+    from toc3d_tpu.data.convert import create_nuscenes_infos
 
-    raise NotImplementedError(
-        "devkit present: port of data_converter/nuscenes_converter.py "
-        "pending — use the reference converter output meanwhile")
+    val_names = None
+    if args.val_scenes:
+        with open(args.val_scenes) as f:
+            val_names = {line.strip() for line in f if line.strip()}
+
+    paths = create_nuscenes_infos(args.data_root, args.version,
+                                  args.out_dir, val_names)
+    for p in paths:
+        print("wrote", p)
 
 
 if __name__ == "__main__":
