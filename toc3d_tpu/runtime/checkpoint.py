@@ -380,3 +380,25 @@ def load_params(path: str, like=None):
     if like is not None:
         return ckptr.restore(path, like)
     return ckptr.restore(path)
+
+
+def save_train_state(state, path: str):
+    """Full TrainState (params + optimizer state + memory bank + step) for
+    --resume-from (reference mmcv CheckpointHook + runner.resume,
+    mmdet_train.py:200-206)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state._asdict()), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_train_state(path: str, like_state):
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    like = jax.tree_util.tree_map(lambda x: x, like_state._asdict())
+    restored = ckptr.restore(path, like)
+    return type(like_state)(**restored)

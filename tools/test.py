@@ -77,7 +77,16 @@ def main():
     state = init_state(1, cfg)
     prev_scene = None
     import time
+
+    def collect(det, meta):
+        valid = np.asarray(det.valid[0])
+        results[meta["token"]] = detections_to_nusc_annos(
+            np.asarray(det.bboxes[0])[valid],
+            np.asarray(det.scores[0])[valid],
+            np.asarray(det.labels[0])[valid], meta)
+
     t_total, timed = 0.0, 0
+    pending = None   # fetch frame t-1 after dispatching frame t (pipelined)
     for i, (frame, meta) in enumerate(PrefetchIterator(frames())):
         pe = 1.0 if meta["scene_token"] == prev_scene else 0.0
         prev_scene = meta["scene_token"]
@@ -97,18 +106,17 @@ def main():
                 patch_size=cfg.backbone.patch_size)
         else:
             state, det = infer(params, state, frame)
-        valid = np.asarray(det.valid[0])
-        boxes = np.asarray(det.bboxes[0])[valid]
-        scores = np.asarray(det.scores[0])[valid]
-        labels = np.asarray(det.labels[0])[valid]
+        if pending is not None:
+            collect(*pending)
+        pending = (det, meta)
         dt = time.perf_counter() - t0
         if i >= 200:                       # reference warmup protocol
             t_total += dt
             timed += 1
-        results[meta["token"]] = detections_to_nusc_annos(
-            boxes, scores, labels, meta)
         if (i + 1) % 500 == 0:
             print(f"{i + 1}/{n} samples")
+    if pending is not None:
+        collect(*pending)
 
     path = write_submission(results, args.work_dir)
     print("wrote", path)

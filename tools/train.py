@@ -48,7 +48,8 @@ def main():
     from toc3d_tpu.parallel.mesh import make_mesh
     from toc3d_tpu.runtime.train import (make_optimizer, init_train_state,
                                          make_train_step)
-    from toc3d_tpu.runtime.checkpoint import save_params, load_params
+    from toc3d_tpu.runtime.checkpoint import (save_params, save_train_state,
+                                              load_train_state)
     from toc3d_tpu.data.nuscenes import (NuScenesInfos, AUG_800x320,
                                          AUG_1600x800)
     from toc3d_tpu.data.loader import build_train_sample, PrefetchIterator
@@ -75,6 +76,9 @@ def main():
 
     tx = make_optimizer(params, base_lr=args.lr, total_iters=args.iters)
     state = init_train_state(params, tx, global_batch, cfg)
+    if args.resume_from:
+        state = load_train_state(os.path.abspath(args.resume_from), state)
+        print(f"resumed from {args.resume_from} at step {int(state.step)}")
     state = jax.device_put(state, NamedSharding(mesh, P()))
     state = state._replace(memory=jax.device_put(
         state.memory, NamedSharding(mesh, P("data"))))
@@ -112,7 +116,7 @@ def main():
         if (step + 1) % args.checkpoint_interval == 0:
             path = os.path.abspath(
                 os.path.join(args.work_dir, f"iter_{step + 1}"))
-            save_params(jax.device_get(state.params), path)
+            save_train_state(state, path)
             print("saved", path)
 
     path = os.path.abspath(os.path.join(args.work_dir, "final"))
