@@ -126,6 +126,51 @@ def patch_embed(p, x, patch_size: int):
     return conv2d(p, x, stride=patch_size, padding="VALID")
 
 
+def init_res_bottleneck(key, dim: int):
+    """ResBottleneckBlock params (eva_vit.py:122-180): 1x1 -> 3x3 -> 1x1
+    convs with LN, last norm zero-initialized."""
+    k = jax.random.split(key, 3)
+    bc = dim // 2
+    p = {
+        "conv1": init_conv(k[0], 1, 1, dim, bc, bias=False),
+        "norm1": init_layer_norm(bc),
+        "conv2": init_conv(k[1], 3, 3, bc, bc, bias=False),
+        "norm2": init_layer_norm(bc),
+        "conv3": init_conv(k[2], 1, 1, bc, dim, bias=False),
+        "norm3": {"scale": jnp.zeros((dim,)), "bias": jnp.zeros((dim,))},
+    }
+    return p
+
+
+def res_bottleneck(p, x):
+    """x: (B, H, W, C) channel-last; detectron2 LN here normalizes over the
+    channel dim."""
+    out = conv2d(p["conv1"], x, padding="VALID")
+    out = jax.nn.gelu(layer_norm(p["norm1"], out, eps=1e-6),
+                      approximate=False)
+    out = conv2d(p["conv2"], out, padding=[(1, 1), (1, 1)])
+    out = jax.nn.gelu(layer_norm(p["norm2"], out, eps=1e-6),
+                      approximate=False)
+    out = conv2d(p["conv3"], out, padding="VALID")
+    out = layer_norm(p["norm3"], out, eps=1e-6)
+    return x + out
+
+
+def get_vit_lr_decay_rate(name_path: str, lr_decay_rate: float = 1.0,
+                          num_layers: int = 12) -> float:
+    """Per-parameter layer-decay multiplier (eva_vit.py:574-591).
+
+    name_path: '/'-joined param path, e.g.
+    'img_backbone/blocks/17/attn/q_proj/w'."""
+    layer_id = num_layers + 1
+    if name_path.startswith("img_backbone"):
+        if "pos_embed" in name_path or "patch_embed" in name_path:
+            layer_id = 0
+        elif "/blocks/" in name_path and "/residual/" not in name_path:
+            layer_id = int(name_path.split("/blocks/")[1].split("/")[0]) + 1
+    return lr_decay_rate ** (num_layers + 1 - layer_id)
+
+
 def drop_path(rng, x, rate: float):
     """Stochastic depth on the residual delta (timm DropPath semantics:
     per-sample bernoulli, rescaled). Identity when rng is None or rate 0."""

@@ -59,21 +59,45 @@ def _is_backbone(path) -> bool:
 
 def make_optimizer(params, base_lr=1e-4, weight_decay=0.01, clip_norm=35.0,
                    backbone_lr_mult=0.1, total_iters=42_000,
-                   warmup_iters=500):
-    """AdamW with backbone lr x0.1 (paramwise custom_keys, ToC3D_fast.py:256)."""
+                   warmup_iters=500, layer_decay=None):
+    """AdamW with backbone lr x0.1 (paramwise custom_keys, ToC3D_fast.py:256).
+
+    layer_decay: optional ViT layer-wise lr decay rate
+    (get_vit_lr_decay_rate, eva_vit.py:574-591); unused by the shipped ToC3D
+    configs but part of the reference's training surface.
+    """
     sched = make_lr_schedule(base_lr, warmup_iters, total_iters=total_iters)
     sched_bb = make_lr_schedule(base_lr * backbone_lr_mult, warmup_iters,
                                 total_iters=total_iters)
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: "backbone" if _is_backbone(path) else "rest", params)
-    tx = optax.chain(
+    chain = [
         optax.clip_by_global_norm(clip_norm),
         optax.multi_transform(
             {"backbone": optax.adamw(sched_bb, weight_decay=weight_decay),
              "rest": optax.adamw(sched, weight_decay=weight_decay)},
             labels),
-    )
-    return tx
+    ]
+    if layer_decay is not None:
+        from ..models.eva_vit import get_vit_lr_decay_rate
+        depth = len(params["img_backbone"]["blocks"])
+
+        def path_str(path):
+            parts = []
+            for p in path:
+                parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+            return "/".join(parts)
+
+        mults = jax.tree_util.tree_map_with_path(
+            lambda path, _: get_vit_lr_decay_rate(path_str(path),
+                                                  layer_decay, depth),
+            params)
+        chain.append(optax.GradientTransformation(
+            lambda p: optax.EmptyState(),
+            lambda updates, state, params=None: (
+                jax.tree_util.tree_map(lambda u, m: u * m, updates, mults),
+                state)))
+    return optax.chain(*chain)
 
 
 def init_train_state(params, tx, batch_size: int,
