@@ -180,6 +180,30 @@ PRESETS = {
 }
 
 
+def apply_overrides(cfg, options):
+    """Dotted-key config overrides, the reference's --cfg-options UX
+    (tools/train.py:104-113): e.g. ["head.num_query=900",
+    "backbone.token_ratio=(0.5,0.4,0.3)"]. Values are python literals."""
+    import ast
+    from dataclasses import replace, is_dataclass
+
+    def set_path(obj, path, value):
+        key = path[0]
+        if len(path) == 1:
+            return replace(obj, **{key: value})
+        child = getattr(obj, key)
+        return replace(obj, **{key: set_path(child, path[1:], value)})
+
+    for opt in options or ():
+        key, _, raw = opt.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        cfg = set_path(cfg, key.strip().split("."), value)
+    return cfg
+
+
 def get_config(name: str, **kw) -> DetectorConfig:
     if name in PRESETS:
         return PRESETS[name](**kw)

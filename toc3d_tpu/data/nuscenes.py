@@ -92,15 +92,18 @@ class NuScenesInfos:
     def __len__(self):
         return len(self.infos)
 
-    def _sequence_flags(self, seq_split_num: int) -> np.ndarray:
+    def _sequence_flags(self, seq_split_num) -> np.ndarray:
         """Per-scene group ids, sub-split for streaming training
-        (nuscenes_dataset.py:60-96)."""
+        (nuscenes_dataset.py:60-96; seq_split_num='all' makes every sample
+        its own group)."""
         res, cur = [], 0
         for idx, info in enumerate(self.infos):
             if idx != 0 and len(info["sweeps"]) == 0:
                 cur += 1
             res.append(cur)
         flag = np.array(res, np.int64)
+        if seq_split_num == "all":
+            return np.arange(len(self.infos), dtype=np.int64)
         if seq_split_num == 1:
             return flag
         bin_counts = np.bincount(flag)

@@ -116,6 +116,32 @@ def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
     return query, attn_w
 
 
+def init_encoder_layer(key, cfg: DecoderConfig):
+    k = jax.random.split(key, 2)
+    return {
+        "self_attn": init_mha(k[0], cfg.embed_dims, cfg.num_heads),
+        "ffn": init_ffn(k[1], cfg),
+        "norm0": init_layer_norm(cfg.embed_dims),
+        "norm1": init_layer_norm(cfg.embed_dims),
+    }
+
+
+def encoder_forward(p, cfg: DecoderConfig, x, pos, rng=None):
+    """Plain post-norm transformer encoder (PETRTransformerEncoder,
+    petr_transformer.py:342-368 — registered in the reference, unused by
+    the shipped configs). p: {'layers': [...], 'post_norm': optional}."""
+    for li, lp in enumerate(p["layers"]):
+        r = None if rng is None else jax.random.fold_in(rng, li)
+        out, _ = mha(lp["self_attn"], x + pos, x + pos, x, cfg.num_heads,
+                     dropout_rate=cfg.dropout, dropout_rng=r)
+        x = layer_norm(lp["norm0"], x + out, eps=LN_EPS)
+        x = layer_norm(lp["norm1"], ffn(lp["ffn"], x, r, cfg.dropout),
+                       eps=LN_EPS)
+    if p.get("post_norm"):
+        x = layer_norm(p["post_norm"], x, eps=LN_EPS)
+    return x
+
+
 def decoder_forward(p, cfg: DecoderConfig, tgt, memory, query_pos, pos_embed,
                     attn_mask, temp_memory=None, temp_pos=None, rng=None,
                     remat=False, collect_attn=False):

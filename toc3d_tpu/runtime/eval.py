@@ -189,6 +189,33 @@ def streaming_eval(infer_fn, params, init_state_fn, frames, metas,
     return results
 
 
+def gather_results_multihost(results: Dict[str, List[Dict]]) -> Dict:
+    """Merge per-host eval results when evaluating under multi-process JAX
+    (the reference pickles per-rank parts to a tmpdir and concatenates in
+    rank order, core/apis/test.py:116-160; with contiguous chunks per host
+    a dict union preserves global order)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return results
+    import json as _json
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(_json.dumps(results).encode(), dtype=np.uint8)
+    # fixed-size exchange: gather lengths, pad, gather blobs
+    lengths = multihost_utils.process_allgather(
+        np.asarray([blob.size], np.int64))
+    max_len = int(lengths.max())
+    padded = np.zeros((max_len,), np.uint8)
+    padded[: blob.size] = blob
+    blobs = multihost_utils.process_allgather(padded)
+    merged = {}
+    for host_blob, n in zip(np.asarray(blobs).reshape(-1, max_len),
+                            np.asarray(lengths).reshape(-1)):
+        merged.update(_json.loads(bytes(host_blob[: int(n)]).decode()))
+    return merged
+
+
 def evaluate_submission(result_path: str, data_root: str,
                         version: str = "v1.0-trainval",
                         eval_set: str = "val") -> Dict[str, float]:

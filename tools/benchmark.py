@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--config", default="ToC3D_faster_1600")
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--cfg-options", nargs="*", default=None,
+                    help="dotted-key overrides, e.g. head.num_query=900")
     args = ap.parse_args()
 
     import jax
@@ -32,6 +34,9 @@ def main():
                                            extract_img_feat, head_step)
 
     cfg = get_config(args.config)
+    if args.cfg_options:
+        from toc3d_tpu.configs.presets import apply_overrides
+        cfg = apply_overrides(cfg, args.cfg_options)
     h, w = cfg.pad_shape
     params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)

@@ -36,6 +36,8 @@ def main():
                     help="write kept/dropped token PNGs for the first N "
                          "samples (token_vis_ToC3D config equivalent)")
     ap.add_argument("--vis-out", default="token_vis")
+    ap.add_argument("--cfg-options", nargs="*", default=None,
+                    help="dotted-key overrides, e.g. head.num_query=900")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +51,9 @@ def main():
     from toc3d_tpu.runtime.timer import GLOBAL_TIMER
 
     cfg = get_config(args.config)
+    if args.cfg_options:
+        from toc3d_tpu.configs.presets import apply_overrides
+        cfg = apply_overrides(cfg, args.cfg_options)
     aug = AUG_1600x800 if cfg.pad_shape[0] >= 800 else AUG_800x320
     infos = NuScenesInfos(args.ann)
     n = min(len(infos), args.limit) if args.limit else len(infos)

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--checkpoint-interval", type=int, default=1758)
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cfg-options", nargs="*", default=None,
+                    help="dotted-key overrides, e.g. head.num_query=900")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +59,9 @@ def main():
                                         collate_batch)
 
     cfg = get_config(args.config)
+    if args.cfg_options:
+        from toc3d_tpu.configs.presets import apply_overrides
+        cfg = apply_overrides(cfg, args.cfg_options)
     aug = AUG_1600x800 if cfg.pad_shape[0] >= 800 else AUG_800x320
     infos = NuScenesInfos(args.ann, seq_split_num=args.seq_split_num)
 
