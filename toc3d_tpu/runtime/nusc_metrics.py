@@ -182,10 +182,14 @@ def calc_tp(md, metric_name: str) -> float:
 
 
 def evaluate(gt_all: Dict[str, List[Dict]], pred_all: Dict[str, List[Dict]],
-             class_names=tuple(CLASS_RANGE)) -> Dict:
+             class_names=tuple(CLASS_RANGE),
+             max_boxes_per_sample: int = 500) -> Dict:
     """Full evaluation -> {mAP, NDS, per-class APs, TP errors}."""
     gt_all = {tok: _filter_by_range(b) for tok, b in gt_all.items()}
-    pred_all = {tok: _filter_by_range(b) for tok, b in pred_all.items()}
+    pred_all = {tok: sorted(_filter_by_range(b),
+                            key=lambda a: -a["detection_score"]
+                            )[:max_boxes_per_sample]
+                for tok, b in pred_all.items()}
 
     label_aps = {}
     label_tp = {}
