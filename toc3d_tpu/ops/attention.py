@@ -82,6 +82,11 @@ def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None,
         out = fused_window_attention_nc(qp, kp, vp, cos, sin, num_heads,
                                         n_valid=n_valid)[:, :n]
     else:
+        # XLA path. NOTE: keep exactly this formulation — applying rope in
+        # (B, N, C) layout and/or transpose-free 'bqhd,bkhd' einsums was
+        # tried and REGRESSES badly (151 vs ~90 ms backbone at 800x320, TPU
+        # worker crash at 1600x800): the explicit head-split transposes let
+        # XLA pattern-match its fused-attention custom call.
         q = _split_heads(linear(p["q_proj"], x), num_heads)
         k = _split_heads(linear(p["k_proj"], x), num_heads)
         v = _split_heads(linear(p["v_proj"], x), num_heads)
