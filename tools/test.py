@@ -36,6 +36,8 @@ def main():
                     help="write kept/dropped token PNGs for the first N "
                          "samples (token_vis_ToC3D config equivalent)")
     ap.add_argument("--vis-out", default="token_vis")
+    ap.add_argument("--src-h", type=int, default=900)
+    ap.add_argument("--src-w", type=int, default=1600)
     ap.add_argument("--cfg-options", nargs="*", default=None,
                     help="dotted-key overrides, e.g. head.num_query=900")
     args = ap.parse_args()
@@ -44,7 +46,8 @@ def main():
     from toc3d_tpu.configs import get_config
     from toc3d_tpu.models.detector import (init_detector, init_state,
                                            make_infer_fn)
-    from toc3d_tpu.data.nuscenes import NuScenesInfos, AUG_800x320, AUG_1600x800
+    from toc3d_tpu.data.nuscenes import (NuScenesInfos, AugConfig,
+                                         AUG_800x320, AUG_1600x800)
     from toc3d_tpu.data.loader import build_eval_frame, PrefetchIterator
     from toc3d_tpu.runtime.eval import (streaming_eval, write_submission,
                                         detections_to_nusc_annos)
@@ -54,7 +57,15 @@ def main():
     if args.cfg_options:
         from toc3d_tpu.configs.presets import apply_overrides
         cfg = apply_overrides(cfg, args.cfg_options)
-    aug = AUG_1600x800 if cfg.pad_shape[0] >= 800 else AUG_800x320
+    if cfg.pad_shape == (800, 1600):
+        aug = AUG_1600x800
+    elif cfg.pad_shape == (320, 800):
+        aug = AUG_800x320
+    else:
+        # non-standard resolution (e.g. tiny test configs): resize source
+        # frames (--src-h/--src-w) straight to the padded model input
+        aug = AugConfig(final_dim=cfg.pad_shape, H=args.src_h, W=args.src_w,
+                        rand_flip=False)
     infos = NuScenesInfos(args.ann)
     n = min(len(infos), args.limit) if args.limit else len(infos)
 
