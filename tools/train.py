@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cfg-options", nargs="*", default=None,
                     help="dotted-key overrides, e.g. head.num_query=900")
+    ap.add_argument("--src-h", type=int, default=900)
+    ap.add_argument("--src-w", type=int, default=1600)
     args = ap.parse_args()
 
     import jax
@@ -52,8 +54,8 @@ def main():
                                          make_train_step)
     from toc3d_tpu.runtime.checkpoint import (save_params, save_train_state,
                                               load_train_state)
-    from toc3d_tpu.data.nuscenes import (NuScenesInfos, AUG_800x320,
-                                         AUG_1600x800)
+    from toc3d_tpu.data.nuscenes import (NuScenesInfos, AugConfig,
+                                         AUG_800x320, AUG_1600x800)
     from toc3d_tpu.data.loader import build_train_sample, PrefetchIterator
     from toc3d_tpu.data.sampler import (InfiniteGroupEachSampleInBatchSampler,
                                         collate_batch)
@@ -62,7 +64,14 @@ def main():
     if args.cfg_options:
         from toc3d_tpu.configs.presets import apply_overrides
         cfg = apply_overrides(cfg, args.cfg_options)
-    aug = AUG_1600x800 if cfg.pad_shape[0] >= 800 else AUG_800x320
+    if cfg.pad_shape == (800, 1600):
+        aug = AUG_1600x800
+    elif cfg.pad_shape == (320, 800):
+        aug = AUG_800x320
+    else:
+        aug = AugConfig(final_dim=cfg.pad_shape, H=args.src_h, W=args.src_w,
+                        resize_lim=(cfg.pad_shape[0] / args.src_h * 0.95,
+                                    cfg.pad_shape[0] / args.src_h * 1.2))
     infos = NuScenesInfos(args.ann, seq_split_num=args.seq_split_num)
 
     mesh = make_mesh()

@@ -44,9 +44,7 @@ def main():
 
     from PIL import Image, ImageDraw
     from toc3d_tpu.data.nuscenes import NuScenesInfos, quaternion_rotation_matrix
-    from toc3d_tpu.data.convert import (_box_corners, quat_inverse,
-                                        quat_multiply)
-    from toc3d_tpu.runtime.nusc_metrics import quat_yaw  # noqa: F401
+    from toc3d_tpu.data.convert import _box_corners
 
     with open(args.results) as f:
         preds = json.load(f)["results"]
@@ -64,25 +62,25 @@ def main():
             img = Image.open(path).convert("RGB")
             draw = ImageDraw.Draw(img)
             intr = np.asarray(cam["cam_intrinsic"], np.float64)[:3, :3]
-            # global -> cam: via ego pose at cam timestamp ~ use sample pose
+            # global -> cam via lidar (keys present in every pkl flavor):
+            # cam2global = ego2global @ lidar2ego @ cam2lidar
             e2g_r = quaternion_rotation_matrix(info["ego2global_rotation"])
             e2g_t = np.asarray(info["ego2global_translation"])
-            c2e_r = quaternion_rotation_matrix(cam["sensor2ego_rotation"])
-            c2e_t = np.asarray(cam["sensor2ego_translation"])
-            g2c_r = c2e_r.T @ e2g_r.T
+            l2e_r = quaternion_rotation_matrix(info["lidar2ego_rotation"])
+            l2e_t = np.asarray(info["lidar2ego_translation"])
+            c2l_r = np.asarray(cam["sensor2lidar_rotation"], np.float64)
+            c2l_t = np.asarray(cam["sensor2lidar_translation"], np.float64)
+            c2g_r = e2g_r @ l2e_r @ c2l_r
+            c2g_t = e2g_r @ (l2e_r @ c2l_t + l2e_t) + e2g_t
+            g2c_r = c2g_r.T
             for a in annos:
-                center = g2c_r @ (np.asarray(a["translation"]) - e2g_t
-                                  ) - c2e_r.T @ c2e_t
+                center = g2c_r @ (np.asarray(a["translation"]) - c2g_t)
                 if center[2] < 0.5:
                     continue
                 qg = np.asarray(a["rotation"])
-                qc = quat_multiply(
-                    quat_inverse(np.asarray(cam["sensor2ego_rotation"])),
-                    quat_multiply(
-                        quat_inverse(np.asarray(
-                            info["ego2global_rotation"])), qg))
-                corners = _box_corners(center, a["size"],
-                                       quaternion_rotation_matrix(qc))
+                box_r = quaternion_rotation_matrix(qg)
+                rot_in_cam = g2c_r @ box_r
+                corners = _box_corners(center, a["size"], rot_in_cam)
                 if (corners[2] < 0.1).any():
                     continue
                 uv = intr @ corners
