@@ -23,6 +23,48 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def run_eval(cfg, params, args, step):
+    """Periodic in-training validation (reference CustomDistEvalHook,
+    core/evaluation/eval_hooks.py:29-91): streaming val inference + internal
+    mAP/NDS on the current params."""
+    import json
+    import numpy as np
+    from toc3d_tpu.data.nuscenes import (NuScenesInfos, AugConfig,
+                                         AUG_800x320, AUG_1600x800)
+    from toc3d_tpu.data.loader import build_eval_frame
+    from toc3d_tpu.models.detector import init_state, make_infer_fn
+    from toc3d_tpu.runtime.eval import detections_to_nusc_annos
+    from toc3d_tpu.runtime import nusc_metrics
+
+    if cfg.pad_shape == (800, 1600):
+        aug = AUG_1600x800
+    elif cfg.pad_shape == (320, 800):
+        aug = AUG_800x320
+    else:
+        aug = AugConfig(final_dim=cfg.pad_shape, H=args.src_h, W=args.src_w,
+                        rand_flip=False)
+    infos = NuScenesInfos(args.val_ann)
+    n = min(len(infos), args.eval_limit) if args.eval_limit else len(infos)
+    infer = make_infer_fn(cfg)
+    state = init_state(1, cfg)
+    results = {}
+    prev_scene = None
+    for i in range(n):
+        frame, meta = build_eval_frame(infos, i, aug, args.data_root)
+        frame["prev_exists"][:] = float(meta["scene_token"] == prev_scene)
+        prev_scene = meta["scene_token"]
+        state, det = infer(params, state, frame)
+        valid = np.asarray(det.valid[0])
+        results[meta["token"]] = detections_to_nusc_annos(
+            np.asarray(det.bboxes[0])[valid],
+            np.asarray(det.scores[0])[valid],
+            np.asarray(det.labels[0])[valid], meta)
+    gt = nusc_metrics.build_gt_from_infos(infos.infos[:n])
+    m = nusc_metrics.evaluate(gt, results)
+    print(f"[eval @ iter {step}] " + json.dumps(
+        {"mAP": round(m["mAP"], 4), "NDS": round(m["NDS"], 4), "n": n}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -42,6 +84,13 @@ def main():
                     help="dotted-key overrides, e.g. head.num_query=900")
     ap.add_argument("--src-h", type=int, default=900)
     ap.add_argument("--src-w", type=int, default=1600)
+    ap.add_argument("--val-ann", default=None,
+                    help="val info pkl for periodic evaluation "
+                         "(CustomDistEvalHook equivalent)")
+    ap.add_argument("--eval-interval", type=int, default=0,
+                    help="run val eval every N iters (0 = only at end, "
+                         "reference default: once at end of training)")
+    ap.add_argument("--eval-limit", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -127,6 +176,9 @@ def main():
             t0 = time.time()
             print(f"iter {step + 1}/{args.iters} loss {total:.4f} "
                   f"grad_norm {gn:.2f} {dt:.2f}s/iter")
+        if args.val_ann and args.eval_interval and \
+                (step + 1) % args.eval_interval == 0:
+            run_eval(cfg, state.params, args, step + 1)
         if (step + 1) % args.checkpoint_interval == 0:
             path = os.path.abspath(
                 os.path.join(args.work_dir, f"iter_{step + 1}"))
@@ -136,6 +188,8 @@ def main():
     path = os.path.abspath(os.path.join(args.work_dir, "final"))
     save_params(jax.device_get(state.params), path)
     print("saved", path)
+    if args.val_ann:
+        run_eval(cfg, state.params, args, args.iters)
 
 
 if __name__ == "__main__":
