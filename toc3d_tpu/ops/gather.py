@@ -10,6 +10,7 @@ Behavior parity targets:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -23,7 +24,12 @@ def batch_index_select(x, idx):
 
 
 def batch_index_fill(x, x1, x2, idx1, idx2):
-    """Scatter x1 rows at idx1 and x2 rows at idx2 into x: (B, N, C)."""
+    """Scatter x1 rows at idx1 and x2 rows at idx2 into x: (B, N, C).
+
+    Keep the direct scatter: an inverse-permutation int32 scatter + single
+    gather variant was tried and is SLOWER end-to-end (350 vs 302 ms
+    backbone at ToC3D_faster_1600 on TPU v5e).
+    """
     b = x.shape[0]
     bi = jnp.arange(b)[:, None]
     x = x.at[bi, idx1].set(x1)
