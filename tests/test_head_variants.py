@@ -81,3 +81,58 @@ def test_multiframe_losses():
     # losses only from the last num_frame_losses (=1) frame
     assert all(k.startswith("frame_2_") for k in losses)
     assert float(jnp.abs(new_memory.embedding).sum()) > 0
+
+
+def test_num_frame_backbone_grads_separates_backbone_from_head():
+    """petr3d.py:262-308: history frames can feed head losses while their
+    backbone runs in no_grad — backbone grads must be exactly zero when
+    num_frame_backbone_grads excludes every loss frame, head grads flow."""
+    from dataclasses import replace
+    from toc3d_tpu.runtime.train import compute_losses_multiframe
+    from toc3d_tpu.models.detector import init_detector
+    from toc3d_tpu.models.streampetr_head import init_memory
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import make_batch
+
+    cfg = replace(get_config("tiny"), num_frame_backbone_grads=0,
+                  num_frame_head_grads=2, num_frame_losses=2)
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    frames = [make_batch(rng, 1, 2, *cfg.pad_shape) for _ in range(2)]
+    batch = {k: jnp.stack([f[k] for f in frames], axis=1) for k in frames[0]}
+    memory = init_memory(1, cfg.head)
+
+    def loss_fn(p):
+        total, _ = compute_losses_multiframe(p, cfg, memory, batch,
+                                             jax.random.PRNGKey(1),
+                                             remat=False)
+        return total
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    bb_norm = float(sum(jnp.abs(g).sum()
+                        for g in jax.tree_util.tree_leaves(
+                            grads["img_backbone"])))
+    head_norm = float(sum(jnp.abs(g).sum()
+                          for g in jax.tree_util.tree_leaves(
+                              grads["pts_bbox_head"])))
+    roi_norm = float(sum(jnp.abs(g).sum()
+                         for g in jax.tree_util.tree_leaves(
+                             grads["img_roi_head"])))
+    assert bb_norm == 0.0
+    assert head_norm > 0.0 and roi_norm > 0.0
+
+    # with backbone grads enabled on the last frame, they flow again
+    cfg1 = replace(cfg, num_frame_backbone_grads=1)
+
+    def loss_fn1(p):
+        total, _ = compute_losses_multiframe(p, cfg1, memory, batch,
+                                             jax.random.PRNGKey(1),
+                                             remat=False)
+        return total
+
+    grads1 = jax.jit(jax.grad(loss_fn1))(params)
+    bb_norm1 = float(sum(jnp.abs(g).sum()
+                         for g in jax.tree_util.tree_leaves(
+                             grads1["img_backbone"])))
+    assert bb_norm1 > 0.0

@@ -112,7 +112,8 @@ def init_train_state(params, tx, batch_size: int,
 # ---------------------------------------------------------------------------
 
 def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
-                   rng, remat: bool = True, with_losses: bool = True):
+                   rng, remat: bool = True, with_losses: bool = True,
+                   backbone_grad: bool = True):
     """batch dict (B-leading; G3/G2 are static padded GT counts):
       img (B, N, H, W, 3), intrinsics/img2lidar (B, N, 4, 4),
       timestamp (B,), ego_pose/ego_pose_inv (B, 4, 4), prev_exists (B,),
@@ -130,6 +131,13 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
 
     feats, aux = extract_img_feat(params, cfg, img, memory, batch,
                                   rng=k_sel, remat=remat)
+    if not backbone_grad:
+        # reference runs history-frame backbones under torch.no_grad
+        # (petr3d.py:262-308, num_frame_backbone_grads): head/neck-side
+        # losses may still flow, but nothing reaches backbone params
+        # (including the token selectors, whose masks live in aux).
+        feats = jax.lax.stop_gradient(feats)
+        aux = jax.tree_util.tree_map(jax.lax.stop_gradient, aux)
     fh, fw = feats.shape[2], feats.shape[3]
 
     # 2D aux head (train-time token ranking + losses)
@@ -194,13 +202,15 @@ def compute_losses_multiframe(params, cfg: DetectorConfig,
 
     batch arrays carry a T axis after B: img (B, T, N, H, W, 3), intrinsics
     (B, T, N, 4, 4), timestamp (B, T), ego_pose[_inv] (B, T, 4, 4),
-    prev_exists (B, T), gt_* (B, T, ...). Frames earlier than the last
-    cfg.num_frame_backbone_grads are run under stop_gradient (the reference
-    runs them in no_grad eval mode); losses come from the last
-    cfg.num_frame_losses frames, keyed 'frame_{t}_...'.
+    prev_exists (B, T), gt_* (B, T, ...). The last cfg.num_frame_head_grads
+    frames get head/neck gradients, the last cfg.num_frame_backbone_grads
+    frames additionally get backbone gradients (the reference runs earlier
+    frames' backbones in no_grad eval mode, petr3d.py:262-308); losses come
+    from the last cfg.num_frame_losses frames, keyed 'frame_{t}_...'.
     """
     t_total = batch["img"].shape[1]
     n_grad = cfg.num_frame_head_grads
+    n_bb_grad = cfg.num_frame_backbone_grads
     n_loss = cfg.num_frame_losses
     losses = {}
     totals = []
@@ -210,9 +220,11 @@ def compute_losses_multiframe(params, cfg: DetectorConfig,
         rng, k = jax.random.split(rng)
         grad_frame = t >= t_total - n_grad
         loss_frame = t >= t_total - n_loss
+        bb_grad_frame = t >= t_total - n_bb_grad
         total, (ld, memory) = compute_losses(params, cfg, memory, frame, k,
                                              remat=remat,
-                                             with_losses=loss_frame)
+                                             with_losses=loss_frame,
+                                             backbone_grad=bb_grad_frame)
         if not grad_frame:
             total = jax.lax.stop_gradient(total)
             ld = jax.tree_util.tree_map(jax.lax.stop_gradient, ld)
