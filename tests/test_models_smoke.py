@@ -181,3 +181,58 @@ def test_scene_reset_equals_fresh_state():
     _, det_fresh = step(params, state0, frame)
     np.testing.assert_allclose(np.asarray(det_carried.scores),
                                np.asarray(det_fresh.scores), atol=1e-5)
+
+
+def test_eval_mask_modes():
+    """eval_mask='gumbel' (reference strict parity) is stochastic across
+    seeds; 'hard' yields a 0/1 top-k mask; 'softmax' is deterministic."""
+    from dataclasses import replace
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from toc3d_tpu.configs import get_config
+    from toc3d_tpu.models.detector import (init_detector, init_state,
+                                           extract_img_feat)
+    from toc3d_tpu.models.toc3d_vit import toc3d_vit_forward
+
+    cfg = get_config("tiny")
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    state = init_state(1, cfg)
+    rng = np.random.RandomState(0)
+    h, w = cfg.pad_shape
+    frame = {
+        "img": jnp.asarray(rng.randn(1, 2, h, w, 3).astype(np.float32)),
+        "prev_exists": jnp.ones((1,), jnp.float32),
+        "ego_pose_inv": jnp.eye(4)[None],
+    }
+
+    def run(bb_cfg, mask_rng, p=None):
+        c = replace(cfg, backbone=bb_cfg)
+        if p is None:
+            p = params
+        feats, aux = extract_img_feat(p, c, frame["img"], state.memory,
+                                      frame, mask_rng=mask_rng)
+        return feats, aux
+
+    bb = cfg.backbone
+    f_det1, _ = run(bb, None)
+    f_det2, _ = run(bb, None)
+    assert np.allclose(np.asarray(f_det1), np.asarray(f_det2))
+
+    # the mask feeds the NEXT selector's scoring (use_mask=True), so
+    # stochasticity needs >= 2 pruning layers to reach the features
+    bb_g = replace(bb, eval_mask="gumbel", global_attn_indexes=(3,),
+                   pruning_loc=(1, 2), token_ratio=(0.5, 0.5))
+    cfg_g = replace(cfg, backbone=bb_g)
+    params_g = jax.jit(lambda k: init_detector(k, cfg_g))(
+        jax.random.PRNGKey(0))
+    f_g1, _ = run(bb_g, jax.random.PRNGKey(1), params_g)
+    f_g2, _ = run(bb_g, jax.random.PRNGKey(2), params_g)
+    assert not np.allclose(np.asarray(f_g1), np.asarray(f_g2))
+
+    bb_h = replace(bb, eval_mask="hard")
+    _, aux_h = run(bb_h, None)
+    m = np.asarray(aux_h["token_masks"][0])
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    k = int(m.shape[1] * m.shape[2] * bb.token_ratio[0])
+    assert int(m.sum()) == k * m.shape[0]

@@ -98,10 +98,13 @@ def _motion_ctx_from_memory(cfg: DetectorConfig, memory: MemoryBank, frame):
 
 
 def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
-                     frame, rope_tables=None, rng=None, remat=False):
+                     frame, rope_tables=None, rng=None, remat=False,
+                     mask_rng=None):
     """img: (B, N, H, W, 3) normalized images -> (feats (B, N, h, w, C), aux).
 
     aux carries the token-compression masks/indices for loss and vis.
+    mask_rng: eval-only PRNG for the reference-parity stochastic token mask
+    (ToC3DViTConfig.eval_mask='gumbel').
     """
     b, n, h, w, c = img.shape
     x = img.reshape(b * n, h, w, c)
@@ -114,7 +117,7 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
         feats, aux = toc3d_vit_forward(
             params["img_backbone"], x, cfg.backbone, motion_ctx,
             frame["prev_exists"], rope_tables=rope_tables, rng=rng,
-            remat=remat)
+            remat=remat, mask_rng=mask_rng)
     else:
         feats = eva_vit_forward(params["img_backbone"], x, cfg.backbone,
                                 rope_tables=rope_tables, remat=remat,
@@ -179,7 +182,7 @@ def head_step(params, cfg: DetectorConfig, state: DetectorState, feats,
     return DetectorState(memory=new_memory), decoded
 
 
-def make_infer_fn(cfg: DetectorConfig):
+def make_infer_fn(cfg: DetectorConfig, mask_seed: int = 0):
     """Build the streaming inference callable as TWO jitted programs
     (backbone+neck, then head+decode).
 
@@ -189,13 +192,29 @@ def make_infer_fn(cfg: DetectorConfig):
     fine). The two-program split matches the reference's own timer
     granularity (backbone / neck / 3D transformer) and costs only one extra
     dispatch per frame.
+
+    mask_seed: when cfg.backbone.eval_mask == 'gumbel' (reference strict
+    parity — stochastic eval token mask, toc3d_utils.py:146-147), a per-frame
+    PRNG folded from this seed is threaded into the backbone.
     """
-    ex = jax.jit(lambda p, img, mem, f: extract_img_feat(p, cfg, img, mem,
-                                                         f)[0])
+    stochastic = (getattr(cfg.backbone, "eval_mask", "softmax") == "gumbel")
+    if stochastic:
+        ex = jax.jit(lambda p, img, mem, f, k: extract_img_feat(
+            p, cfg, img, mem, f, mask_rng=k)[0])
+    else:
+        ex = jax.jit(lambda p, img, mem, f: extract_img_feat(
+            p, cfg, img, mem, f)[0])
     hd = jax.jit(lambda p, s, feats, f: head_step(p, cfg, s, feats, f))
+    base = jax.random.PRNGKey(mask_seed)
+    counter = [0]
 
     def infer(params, state: DetectorState, frame):
-        feats = ex(params, frame["img"], state.memory, frame)
+        if stochastic:
+            k = jax.random.fold_in(base, counter[0])
+            counter[0] += 1
+            feats = ex(params, frame["img"], state.memory, frame, k)
+        else:
+            feats = ex(params, frame["img"], state.memory, frame)
         return hd(params, state, feats, frame)
 
     return infer

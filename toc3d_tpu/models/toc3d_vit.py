@@ -49,6 +49,14 @@ class ToC3DViTConfig(EVAViTConfig):
     rope_acc: bool = True
     query_dim: int = 256
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    # eval-time token mask semantics (toc3d_utils.py:146-157 sample()):
+    #   'softmax' — noiseless gumbel-softmax channel 0 (our deterministic
+    #               default, equal in expectation to the reference);
+    #   'gumbel'  — reference strict parity: the reference keeps
+    #               F.gumbel_softmax NOISY at eval (hard_score=False ships in
+    #               every config), so eval is stochastic; needs a mask rng;
+    #   'hard'    — reference hard_score=True branch: 0/1 top-k mask.
+    eval_mask: str = "softmax"
 
     def __post_init__(self):
         overlap = set(self.pruning_loc) & set(self.global_attn_indexes)
@@ -159,9 +167,13 @@ def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
 
 def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                       prev_exists, rope_tables=None, rng=None,
-                      remat: bool = False):
+                      remat: bool = False, mask_rng=None):
     """x: (BN, H, W, 3); motion_ctx: dict of memory-bank views (B-leading,
     see token_select.selector_score); prev_exists: (B,) float.
+
+    mask_rng: eval-only PRNG for cfg.eval_mask='gumbel' (reference strict
+    parity — the reference's eval token mask is gumbel-stochastic,
+    toc3d_utils.py:146-147). Ignored when rng (training) is given.
 
     Returns (features (BN, h, w, C), aux dict with token_masks / scores /
     keep_idx / drop_idx lists — one entry per pruning layer).
@@ -190,12 +202,21 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
             sel_rng = None
             if rng is not None:
                 rng, sel_rng = jax.random.split(rng)
+            elif cfg.eval_mask == "gumbel" and mask_rng is not None:
+                mask_rng, sel_rng = jax.random.split(mask_rng)
             scores, pred, attn = selector_score(
                 params["score_predictor"][seg], scfg, x, masks, motion_ctx,
                 prev_exists, train_blend=rng is not None)
-            masks = soft_mask(pred, sel_rng).reshape(bn, h, w, 1)
             # whole-image keep/drop split (for vis + parity checks)
             ks, ds, ki, di = sample_topk(scores, scfg.ratio)
+            if cfg.eval_mask == "hard" and rng is None:
+                # reference hard_score=True eval branch: 0/1 top-k mask
+                # (toc3d_utils.py:150-157)
+                hard = jnp.zeros((bn, h * w, 1), x.dtype)
+                hard = hard.at[jnp.arange(bn)[:, None], ki].set(1.0)
+                masks = hard.reshape(bn, h, w, 1)
+            else:
+                masks = soft_mask(pred, sel_rng).reshape(bn, h, w, 1)
             aux["token_masks"].append(masks)
             aux["scores"].append(scores.reshape(bn, h, w))
             if attn is not None:
@@ -208,7 +229,19 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
         is_global = i in cfg.global_attn_indexes
         ws = cfg.global_window_size if is_global else cfg.window_size
         tables = rope_glb if is_global else rope_win
+        # fused megakernel: inference on TPU only (no VJP; training and the
+        # CPU test mesh keep the XLA path)
+        fused = (cfg.fused_blocks and rng is None and not remat
+                 and jax.default_backend() != "cpu")
         if cfg.block_is_accelerated(i):
+            if fused:
+                from ..ops.pallas.vit_block import fused_compressed_block
+                x = fused_compressed_block(
+                    params["blocks"][i], x, scores, cfg.num_heads, ws, ratio,
+                    tables if cfg.rope else None,
+                    use_represent=cfg.use_represent_tokens,
+                    rope_acc=cfg.rope_acc)
+                continue
             fwd = toc3d_block_forward
             if remat:
                 fwd = jax.checkpoint(toc3d_block_forward,

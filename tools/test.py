@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--src-w", type=int, default=1600)
     ap.add_argument("--cfg-options", nargs="*", default=None,
                     help="dotted-key overrides, e.g. head.num_query=900")
+    ap.add_argument("--ref-parity", action="store_true",
+                    help="reproduce the reference's eval conventions exactly:"
+                         " gumbel-STOCHASTIC token mask (the reference keeps"
+                         " F.gumbel_softmax noisy at eval,"
+                         " toc3d_utils.py:146-147) seeded by --ref-parity-seed")
+    ap.add_argument("--ref-parity-seed", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -57,6 +63,10 @@ def main():
     if args.cfg_options:
         from toc3d_tpu.configs.presets import apply_overrides
         cfg = apply_overrides(cfg, args.cfg_options)
+    if args.ref_parity and cfg.is_toc3d:
+        from dataclasses import replace
+        cfg = replace(cfg, backbone=replace(cfg.backbone,
+                                            eval_mask="gumbel"))
     if cfg.pad_shape == (800, 1600):
         aug = AUG_1600x800
     elif cfg.pad_shape == (320, 800):
@@ -82,7 +92,7 @@ def main():
         params = jax.jit(lambda k: init_detector(k, cfg))(
             jax.random.PRNGKey(0))
 
-    infer = make_infer_fn(cfg)
+    infer = make_infer_fn(cfg, mask_seed=args.ref_parity_seed)
     GLOBAL_TIMER.set_activate(args.speed_test)
 
     def frames():
