@@ -308,9 +308,10 @@ def fill_trainval_infos(tables: NuScenesTables, with_2d: bool = True,
 
         if not test:
             gt_boxes, names, velocity = [], [], []
-            num_lidar, num_radar, valid = [], [], []
+            num_lidar, num_radar, valid, inst_toks = [], [], [], []
             for tok in tables.sample_anns(sample["token"]):
                 ann = tables.get("sample_annotation", tok)
+                inst_toks.append(ann["instance_token"])
                 center, quat = _box_to_sensor(ann["translation"],
                                               ann["rotation"], pose, cs)
                 yaw = quat_yaw(quat)
@@ -334,6 +335,10 @@ def fill_trainval_infos(tables: NuScenesTables, with_2d: bool = True,
             info["num_lidar_pts"] = np.asarray(num_lidar)
             info["num_radar_pts"] = np.asarray(num_radar)
             info["valid_flag"] = np.asarray(valid, bool)
+            # instance identity for tracking GT (the devkit's TrackingEval
+            # reads this from the DB; we persist it so tracking metrics are
+            # computable devkit-free, see tracking/metrics.py)
+            info["gt_instance_tokens"] = np.asarray(inst_toks)
 
             if with_2d:
                 b2, l2, c2, d2 = [], [], [], []

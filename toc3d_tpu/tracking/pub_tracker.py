@@ -35,9 +35,18 @@ def greedy_assignment(dist: np.ndarray) -> np.ndarray:
 
 
 class PubTracker:
-    def __init__(self, hungarian: bool = False, max_age: int = 0):
+    """strict_parity replicates a reference quirk on EMPTY input frames
+    (pub_tracker.py:41-59): the reference ages surviving tracks but leaves
+    self.tracks UNPRUNED, so expired tracks linger and can later be revived
+    by a match (matching resets age to 1 regardless of prior age). Default
+    False prunes expired tracks on every path — cleaner, and identical
+    whenever no frame has a literally-empty detection list."""
+
+    def __init__(self, hungarian: bool = False, max_age: int = 0,
+                 strict_parity: bool = False):
         self.hungarian = hungarian
         self.max_age = max_age
+        self.strict_parity = strict_parity
         self.reset()
 
     def reset(self):
@@ -60,6 +69,17 @@ class PubTracker:
         """One frame (pub_tracker.py:41-186). results: detection dicts in
         submission format; mutates + returns live tracks."""
         if len(results) == 0:
+            if self.strict_parity:
+                # reference empty-input branch: age in place, no pruning
+                ret = []
+                for track in self.tracks:
+                    if track["age"] < self.max_age:
+                        track["age"] += 1
+                        track["active"] = 0
+                        if "tracking" in track:
+                            track["ct"] = track["ct"] - track["tracking"]
+                        ret.append(track)
+                return ret
             ret = self._age_out() if self.tracks else []
             self.tracks = ret if self.tracks else []
             return ret
@@ -156,13 +176,15 @@ class PubTracker:
 def track_detections(predictions: Dict[str, List[Dict]],
                      frames: List[Dict], max_age: int = 3,
                      score_threshold: float = 0.25,
-                     hungarian: bool = False) -> Dict:
+                     hungarian: bool = False,
+                     strict_parity: bool = False) -> Dict:
     """The pub_test.py main loop: stream frames (dicts with token/timestamp/
     first), reset per scene, return tracking submission results.
 
     frames can be built from the info pkl: first = (prev_exists is False).
     """
-    tracker = PubTracker(max_age=max_age, hungarian=hungarian)
+    tracker = PubTracker(max_age=max_age, hungarian=hungarian,
+                         strict_parity=strict_parity)
     nusc_annos = {}
     last_ts = 0.0
     t0 = time.time()

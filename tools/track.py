@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--hungarian", action="store_true")
     ap.add_argument("--max-age", type=int, default=3)
     ap.add_argument("--score-threshold", type=float, default=0.25)
+    ap.add_argument("--eval", action="store_true",
+                    help="compute AMOTA/AMOTP with the internal devkit-free "
+                         "tracking evaluator (tracking/metrics.py)")
+    ap.add_argument("--strict-parity", action="store_true",
+                    help="replicate the reference's empty-frame track "
+                         "lifecycle exactly (see PubTracker docstring)")
     args = ap.parse_args()
 
     from toc3d_tpu.data.nuscenes import NuScenesInfos
@@ -39,7 +45,8 @@ def main():
     frames = frames_from_infos(infos.infos)
     result = track_detections(predictions, frames, max_age=args.max_age,
                               score_threshold=args.score_threshold,
-                              hungarian=args.hungarian)
+                              hungarian=args.hungarian,
+                              strict_parity=args.strict_parity)
     path = write_tracking_result(result, args.work_dir)
     print(f"wrote {path} ({result['fps']:.1f} frames/s)")
 
@@ -48,7 +55,22 @@ def main():
         from nuscenes.eval.tracking.evaluate import TrackingEval  # noqa
         print("nuscenes-devkit present; run TrackingEval against", path)
     except ImportError:
-        print("nuscenes-devkit not installed; skipping TrackingEval")
+        pass
+
+    if args.eval:
+        from toc3d_tpu.tracking.metrics import (build_tracking_gt_from_infos,
+                                                scenes_from_infos,
+                                                evaluate_tracking)
+        gt = build_tracking_gt_from_infos(infos.infos)
+        scenes = scenes_from_infos(infos.infos)
+        metrics = evaluate_tracking(gt, result["results"], scenes)
+        print(json.dumps({
+            "AMOTA": round(metrics["AMOTA"], 4),
+            "AMOTP": round(metrics["AMOTP"], 4),
+            "per_class": {c: {"amota": round(v["amota"], 4),
+                              "amotp": round(v["amotp"], 4)}
+                          for c, v in metrics["per_class"].items()},
+            "evaluator": "internal"}))
 
 
 if __name__ == "__main__":
