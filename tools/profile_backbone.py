@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Profile the backbone+neck program on the real TPU and print a per-op-class
+time breakdown parsed straight from the jax.profiler trace (no tensorboard).
+
+Usage: python tools/profile_backbone.py [--config ToC3D_faster_1600] [--head]
+"""
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_trace(trace_dir):
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    assert paths, f"no trace under {trace_dir}"
+    with gzip.open(paths[0], "rt") as f:
+        data = json.load(f)
+    events = [e for e in data.get("traceEvents", [])
+              if e.get("ph") == "X" and "dur" in e]
+    # keep only device-lane events (TensorFlow Op / XLA Op lanes)
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in data["traceEvents"]
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    return events, pid_names
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="ToC3D_faster_1600")
+    ap.add_argument("--head", action="store_true",
+                    help="profile the head program instead of backbone")
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+    from toc3d_tpu.configs import get_config
+    from toc3d_tpu.models.detector import (init_detector, init_state,
+                                           make_infer_fn)
+    from bench import make_frame
+
+    cfg = get_config(args.config)
+    h, w = cfg.pad_shape
+    b, n = 1, 6
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    state = init_state(b, cfg)
+    step = make_infer_fn(cfg)
+    rng = np.random.RandomState(0)
+    frames = [make_frame(rng, b, n, h, w, 0.0 if i == 0 else 1.0)
+              for i in range(3)]
+
+    for i in range(4):
+        state, det = step(params, state, frames[i % 3])
+    np.asarray(det.scores)
+
+    trace_dir = tempfile.mkdtemp(prefix="toc3d_prof_")
+    with jax.profiler.trace(trace_dir):
+        for i in range(args.iters):
+            state, det = step(params, state, frames[i % 3])
+        np.asarray(det.scores)
+
+    events, pid_names = parse_trace(trace_dir)
+    # group by event name over XLA-op lanes
+    per_name = collections.Counter()
+    total = 0.0
+    for e in events:
+        pid = pid_names.get(e.get("pid"), "")
+        if "XLA Op" in pid or "TensorFlow Op" in pid or "/device:" in pid \
+                or "TPU" in pid:
+            per_name[e["name"]] += e["dur"]
+            total += e["dur"]
+    if not per_name:   # fall back: everything
+        for e in events:
+            per_name[e["name"]] += e["dur"]
+            total += e["dur"]
+
+    # classify
+    classes = collections.Counter()
+    for name, dur in per_name.items():
+        lname = name.lower()
+        if "fusion" in lname:
+            key = "fusion"
+        elif any(k in lname for k in ("convolution", "dot", "matmul", "conv")):
+            key = "matmul/conv"
+        elif any(k in lname for k in ("copy", "transpose", "reshape",
+                                      "bitcast", "slice", "concatenate",
+                                      "pad", "gather", "scatter",
+                                      "dynamic-update", "sort", "reduce")):
+            key = "data-movement"
+        elif "custom-call" in lname or "custom_call" in lname:
+            key = "custom-call"
+        else:
+            key = "other"
+        classes[key] += dur
+
+    print(f"\ntrace dir: {trace_dir}")
+    print(f"total device-op time over {args.iters} frames: "
+          f"{total/1000/args.iters:.2f} ms/frame\n")
+    print("== by class (ms/frame) ==")
+    for k, v in classes.most_common():
+        print(f"  {k:16s} {v/1000/args.iters:9.2f}")
+    print(f"\n== top {args.top} ops (ms/frame) ==")
+    for name, dur in per_name.most_common(args.top):
+        print(f"  {dur/1000/args.iters:9.3f}  {name[:120]}")
+
+
+if __name__ == "__main__":
+    main()
