@@ -46,8 +46,19 @@ def main():
                          " F.gumbel_softmax noisy at eval,"
                          " toc3d_utils.py:146-147) seeded by --ref-parity-seed")
     ap.add_argument("--ref-parity-seed", type=int, default=0)
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-process eval: jax.distributed.initialize, "
+                         "scenes sharded per host, results gathered "
+                         "(reference core/apis/test.py:116-160)")
+    ap.add_argument("--dist-coordinator", default=None)
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     args = ap.parse_args()
 
+    if args.distributed or args.dist_coordinator:
+        from toc3d_tpu.parallel.mesh import init_distributed
+        init_distributed(args.dist_coordinator, args.dist_num_processes,
+                         args.dist_process_id)
     import jax
     from toc3d_tpu.configs import get_config
     from toc3d_tpu.models.detector import (init_detector, init_state,
@@ -95,8 +106,24 @@ def main():
     infer = make_infer_fn(cfg, mask_seed=args.ref_parity_seed)
     GLOBAL_TIMER.set_activate(args.speed_test)
 
+    # multi-process: contiguous scene chunks per host (streaming needs whole
+    # scenes; contiguity keeps gather_results_multihost order-preserving)
+    sample_range = range(n)
+    if jax.process_count() > 1:
+        scene_of = [infos.infos[i]["scene_token"] for i in range(n)]
+        bounds = [0] + [i for i in range(1, n)
+                        if scene_of[i] != scene_of[i - 1]] + [n]
+        starts = bounds[:-1]
+        nproc, pid = jax.process_count(), jax.process_index()
+        per = -(-len(starts) // nproc)
+        lo = starts[pid * per] if pid * per < len(starts) else n
+        hi = (starts[(pid + 1) * per]
+              if (pid + 1) * per < len(starts) else n)
+        sample_range = range(lo, hi)
+        print(f"process {pid}/{nproc}: samples [{lo}, {hi})")
+
     def frames():
-        for i in range(n):
+        for i in sample_range:
             yield build_eval_frame(infos, i, aug, args.data_root)
 
     results = {}
@@ -143,6 +170,12 @@ def main():
             print(f"{i + 1}/{n} samples")
     if pending is not None:
         collect(*pending)
+
+    if jax.process_count() > 1:
+        from toc3d_tpu.runtime.eval import gather_results_multihost
+        results = gather_results_multihost(results)
+        if jax.process_index() != 0:
+            return
 
     path = write_submission(results, args.work_dir)
     print("wrote", path)

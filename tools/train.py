@@ -91,14 +91,25 @@ def main():
                     help="run val eval every N iters (0 = only at end, "
                          "reference default: once at end of training)")
     ap.add_argument("--eval-limit", type=int, default=0)
+    # multi-host launch (reference multi_dist_train.sh:6-12 / slurm_train.sh)
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize (auto-detect "
+                         "cluster env: TPU pod / SLURM)")
+    ap.add_argument("--dist-coordinator", default=None,
+                    help="host:port for manual multi-process rendezvous")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     args = ap.parse_args()
 
     import jax
+    from toc3d_tpu.parallel.mesh import make_mesh, init_distributed
+    if args.distributed or args.dist_coordinator:
+        init_distributed(args.dist_coordinator, args.dist_num_processes,
+                         args.dist_process_id)
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     from toc3d_tpu.configs import get_config
     from toc3d_tpu.models.detector import init_detector
-    from toc3d_tpu.parallel.mesh import make_mesh
     from toc3d_tpu.runtime.train import (make_optimizer, init_train_state,
                                          make_train_step)
     from toc3d_tpu.runtime.checkpoint import (save_params, save_train_state,
@@ -123,10 +134,11 @@ def main():
                                     cfg.pad_shape[0] / args.src_h * 1.2))
     infos = NuScenesInfos(args.ann, seq_split_num=args.seq_split_num)
 
-    mesh = make_mesh()
+    nproc = jax.process_count()
+    mesh = make_mesh(axis_names=("dcn", "data") if nproc > 1 else ("data",))
     n_dev = mesh.devices.size
     global_batch = args.batch_size * n_dev
-    print(f"devices={n_dev} global_batch={global_batch}")
+    print(f"processes={nproc} devices={n_dev} global_batch={global_batch}")
 
     if args.load_from:
         from toc3d_tpu.runtime.checkpoint import (load_torch_state_dict,
@@ -142,14 +154,19 @@ def main():
     if args.resume_from:
         state = load_train_state(os.path.abspath(args.resume_from), state)
         print(f"resumed from {args.resume_from} at step {int(state.step)}")
+    from toc3d_tpu.parallel.mesh import dp_spec as _dp
     state = jax.device_put(state, NamedSharding(mesh, P()))
     state = state._replace(memory=jax.device_put(
-        state.memory, NamedSharding(mesh, P("data"))))
+        state.memory, NamedSharding(mesh, _dp(mesh))))
     step_fn = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
 
+    # per-host sampling: each process draws only its own lanes (lane
+    # disjointness across hosts comes from the sampler's replica striding)
+    local_batch = global_batch // nproc
     sampler = InfiniteGroupEachSampleInBatchSampler(
-        infos.flag, global_batch, num_replicas=1, rank=0, seed=args.seed)
-    rng = np.random.RandomState(args.seed)
+        infos.flag, local_batch, num_replicas=nproc,
+        rank=jax.process_index(), seed=args.seed)
+    rng = np.random.RandomState(args.seed + jax.process_index())
 
     def batches():
         for idxs in sampler:
@@ -160,34 +177,60 @@ def main():
             yield collate_batch(samples)
 
     os.makedirs(args.work_dir, exist_ok=True)
-    data_sharding = NamedSharding(mesh, P("data"))
+    from toc3d_tpu.parallel.mesh import dp_spec
+    data_sharding = NamedSharding(mesh, dp_spec(mesh))
+
+    def put_batch(batch):
+        if nproc == 1:
+            return jax.device_put(batch, data_sharding)
+        from jax.experimental import multihost_utils
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                jnp.asarray(x), mesh, dp_spec(mesh)), batch)
+
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     it = PrefetchIterator(batches(), depth=2)
+    # mmcv TextLoggerHook-style metric dump (reference tools/train.py:214-225
+    # writes <work_dir>/<ts>.log.json; one JSON object per log interval)
+    import json as _json
+    from toc3d_tpu.runtime.train import make_lr_schedule
+    lr_sched = make_lr_schedule(args.lr, total_iters=args.iters)
+    log_json = os.path.join(args.work_dir, "train.log.json")
     for step in range(int(state.step), args.iters):
         batch = next(it)
-        batch = jax.device_put(batch, data_sharding)
+        batch = put_batch(batch)
         key, k = jax.random.split(key)
         state, metrics = step_fn(state, batch, k)
         if (step + 1) % args.log_interval == 0:
-            total = float(metrics["total_loss"])
-            gn = float(metrics["grad_norm"])
+            metrics = {mk: float(mv) for mk, mv in metrics.items()}
+            total = metrics["total_loss"]
+            gn = metrics["grad_norm"]
             dt = (time.time() - t0) / args.log_interval
             t0 = time.time()
             print(f"iter {step + 1}/{args.iters} loss {total:.4f} "
                   f"grad_norm {gn:.2f} {dt:.2f}s/iter")
+            if jax.process_index() == 0:
+                rec = {"mode": "train", "iter": step + 1,
+                       "lr": float(lr_sched(step + 1)),
+                       "time": round(dt, 4)}
+                rec.update({mk: round(mv, 6) for mk, mv in metrics.items()})
+                with open(log_json, "a") as f:
+                    f.write(_json.dumps(rec) + "\n")
         if args.val_ann and args.eval_interval and \
                 (step + 1) % args.eval_interval == 0:
             run_eval(cfg, state.params, args, step + 1)
-        if (step + 1) % args.checkpoint_interval == 0:
+        if (step + 1) % args.checkpoint_interval == 0 and \
+                jax.process_index() == 0:
             path = os.path.abspath(
                 os.path.join(args.work_dir, f"iter_{step + 1}"))
             save_train_state(state, path)
             print("saved", path)
 
-    path = os.path.abspath(os.path.join(args.work_dir, "final"))
-    save_params(jax.device_get(state.params), path)
-    print("saved", path)
+    if jax.process_index() == 0:
+        path = os.path.abspath(os.path.join(args.work_dir, "final"))
+        save_params(jax.device_get(state.params), path)
+        print("saved", path)
     if args.val_ann:
         run_eval(cfg, state.params, args, args.iters)
 
