@@ -49,3 +49,62 @@ def test_fused_attention_rope_and_mask_interpret():
     out = fused_window_attention_nc(xp, xp, xp, tc, ts, h, n_valid=n_valid,
                                     interpret=True)[:, :n_valid]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def _block_params(key, c, hidden):
+    from toc3d_tpu.models.eva_vit import init_block, EVAViTConfig
+    cfg = EVAViTConfig(embed_dim=c, num_heads=2, mlp_ratio=hidden / c)
+    return init_block(key, cfg)
+
+
+def test_fused_full_block_matches_xla():
+    """Megakernel full block == block_forward (interpret mode)."""
+    from toc3d_tpu.ops.pallas.vit_block import fused_full_block
+    from toc3d_tpu.models.eva_vit import block_forward, EVAViTConfig
+
+    rng = np.random.RandomState(0)
+    b, h, w, c, heads, ws = 2, 8, 12, 32, 2, 4
+    cfg = EVAViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                       window_size=ws)
+    p = _block_params(jax.random.PRNGKey(0), c, 64)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    tables = build_rope_table(c // heads // 2, ws, ws)
+
+    ref = block_forward(p, x, cfg, ws, tables)
+    out = fused_full_block(p, x, heads, ws, tables, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # no-rope + non-multiple spatial dims (padding path)
+    x2 = x[:, :7, :11]
+    ref2 = block_forward(p, x2, cfg, ws, None)
+    out2 = fused_full_block(p, x2, heads, ws, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_compressed_block_matches_xla():
+    """Megakernel token-compressed block == toc3d_block_forward
+    (interpret mode), with and without the representative token."""
+    from toc3d_tpu.ops.pallas.vit_block import fused_compressed_block
+    from toc3d_tpu.models.toc3d_vit import (toc3d_block_forward,
+                                            ToC3DViTConfig)
+
+    rng = np.random.RandomState(1)
+    b, h, w, c, heads, ws = 2, 8, 8, 32, 2, 4
+    p = _block_params(jax.random.PRNGKey(1), c, 64)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
+    tables = build_rope_table(c // heads // 2, ws, ws)
+
+    for use_rep in (True, False):
+        cfg = ToC3DViTConfig(
+            embed_dim=c, num_heads=heads, mlp_ratio=2.0, window_size=ws,
+            pruning_loc=(0,), token_ratio=(0.5,), global_attn_indexes=(9,),
+            use_represent_tokens=use_rep, rope_acc=True)
+        ref = toc3d_block_forward(p, x, scores, cfg, ws, 0.5, tables)
+        out = fused_compressed_block(p, x, scores, heads, ws, 0.5, tables,
+                                     use_represent=use_rep, rope_acc=True,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

@@ -53,6 +53,10 @@ class EVAViTConfig:
     # route the attention core through the fused Pallas TPU kernel
     # (inference path; training needs the XLA path until a custom VJP lands)
     use_pallas_attention: bool = False
+    # fuse each whole transformer block (LN/QKV/RoPE/attn/proj/SwiGLU) into
+    # one Pallas megakernel (ops/pallas/vit_block.py) — inference on TPU
+    # only; CPU and training (rng given) keep the XLA path
+    fused_blocks: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -189,6 +193,10 @@ def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables,
     dp_rate/rng: train-time stochastic depth (Block.forward drop_path,
     eva_vit.py:262-263; the reference skips drop_path in the accelerated
     slow path, toc3d_eva_vit.py:366-386, and so do we)."""
+    if cfg.fused_blocks and rng is None and jax.default_backend() != "cpu":
+        from ..ops.pallas.vit_block import fused_full_block
+        return fused_full_block(p, x, cfg.num_heads, window_size,
+                                rope_tables)
     b, h, w, c = x.shape
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=LN_EPS)

@@ -1,0 +1,421 @@
+"""Fused EVA-ViT transformer-block megakernels for TPU.
+
+One pallas_call per block computes LN1 -> QKV -> RoPE -> window attention ->
+O-proj -> +residual -> LN2 -> SwiGLU -> +residual, with the block's weights
+resident in VMEM across grid steps and the (n, n) logits never leaving VMEM.
+
+Why: the round-1 profile (tools/profile_backbone.py) showed the ViT-L
+backbone at 1600x800 spending ~266 ms/frame across ~250 bandwidth-bound XLA
+ops (~150 GB/s effective) with only ~43 ms of matmul. Fusing each block into
+one kernel cuts per-layer HBM traffic to read-x + write-x (+weights once).
+
+Capability parity: the math exactly mirrors the XLA path in
+models/eva_vit.py:block_forward and models/toc3d_vit.py:toc3d_block_forward
+(reference eva_vit.py:226-266, toc3d_eva_vit.py:329-473). Inference-only:
+training keeps the XLA path (drop_path rng + autodiff).
+
+Token-compressed blocks use a dense gather/scatter-by-matmul formulation:
+a per-window matrix G (k+1 rows, n cols) holds one-hot rows for the slow
+tokens and a score-weight row for the representative token, so gather
+(G @ x), merge, and scatter (G_slow^T @ y) are all MXU matmuls — no
+dynamic indexing inside the kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..window import pad_hw
+
+LN_EPS = 1e-6
+
+
+def _ln(x, scale, bias, eps=LN_EPS):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _rotate_half(x):
+    """(N, D) pairwise rotation (a, b) -> (-b, a) via rolls + parity mask
+    (Mosaic rejects lane-splitting pair reshapes; 32-bit data only)."""
+    n, d = x.shape
+    left = pltpu.roll(x, d - 1, 1)
+    right = pltpu.roll(x, 1, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, d), 1)
+    return jnp.where((col % 2) == 0, -left, right)
+
+
+def _rope(t, cos, sin):
+    """t: (N, D) bf16; cos/sin: (N, D) f32. Returns t's dtype (matches the
+    XLA path: rope product in f32, cast back to v dtype)."""
+    t32 = t.astype(jnp.float32)
+    return (t32 * cos + _rotate_half(t32) * sin).astype(t.dtype)
+
+
+def _attention(x, refs, num_heads, cos, sin, n_valid, out_dtype):
+    """Pre-LN multi-head window attention core on (n, C) tokens.
+
+    refs: dict of weight refs. cos/sin: (n, d) f32 or None. Columns >=
+    n_valid are masked out of the softmax. Returns (n, C).
+    """
+    n, c = x.shape
+    d = c // num_heads
+    scale = d ** -0.5
+    q = jnp.dot(x, refs["wq"][:], preferred_element_type=jnp.float32)
+    q = (q + refs["bq"][:].astype(jnp.float32)).astype(x.dtype)
+    k = jnp.dot(x, refs["wk"][:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(x, refs["wv"][:], preferred_element_type=jnp.float32)
+    v = (v + refs["bv"][:].astype(jnp.float32)).astype(x.dtype)
+
+    heads = []
+    for h in range(num_heads):
+        qh = q[:, h * d:(h + 1) * d]
+        kh = k[:, h * d:(h + 1) * d]
+        vh = v[:, h * d:(h + 1) * d]
+        if cos is not None:
+            qh = _rope(qh, cos, sin)
+            kh = _rope(kh, cos, sin)
+        s = jax.lax.dot_general(qh * scale, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if n_valid < n:
+            colm = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            s = jnp.where(colm >= n_valid, jnp.float32(-1e30), s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(x.dtype)
+        heads.append(jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+    o = jnp.concatenate(heads, axis=-1)
+    o = jnp.dot(o, refs["wo"][:], preferred_element_type=jnp.float32)
+    return (o + refs["bo"][:].astype(jnp.float32)).astype(out_dtype)
+
+
+def _swiglu(x, refs):
+    """SwiGLU with sub-LN on (n, C): silu(x@w1+b1) * (x@w2+b2) -> ffn_ln ->
+    @w3+b3 (layers.swiglu parity)."""
+    x1 = jnp.dot(x, refs["w1"][:], preferred_element_type=jnp.float32)
+    x1 = (x1 + refs["b1"][:].astype(jnp.float32)).astype(x.dtype)
+    x2 = jnp.dot(x, refs["w2"][:], preferred_element_type=jnp.float32)
+    x2 = (x2 + refs["b2"][:].astype(jnp.float32)).astype(x.dtype)
+    # silu in f32: Mosaic rejects the bf16 silu lowering (f32 scalar
+    # broadcast into a bf16 vector)
+    x1f = x1.astype(jnp.float32)
+    hidden = ((x1f * jax.nn.sigmoid(x1f)).astype(x.dtype) * x2)
+    hidden = _ln(hidden, refs["fls"][:], refs["flb"][:])
+    y = jnp.dot(hidden, refs["w3"][:], preferred_element_type=jnp.float32)
+    return (y + refs["b3"][:].astype(jnp.float32)).astype(x.dtype)
+
+
+_WEIGHT_NAMES = ("ln1s", "ln1b", "wq", "bq", "wk", "wv", "bv", "wo", "bo",
+                 "ln2s", "ln2b", "w1", "b1", "w2", "b2", "fls", "flb",
+                 "w3", "b3")
+
+
+def _flatten_params(p, dtype):
+    """Block param pytree -> flat tuple in _WEIGHT_NAMES order. Weights cast
+    to the compute dtype; LN params stay f32 (stats are f32 in-kernel)."""
+    a = p["attn"]
+    m = p["mlp"]
+    f32 = jnp.float32
+    return (
+        p["norm1"]["scale"].astype(f32), p["norm1"]["bias"].astype(f32),
+        a["q_proj"]["w"].astype(dtype), a["q_proj"]["b"].astype(f32),
+        a["k_proj"]["w"].astype(dtype),
+        a["v_proj"]["w"].astype(dtype), a["v_proj"]["b"].astype(f32),
+        a["proj"]["w"].astype(dtype), a["proj"]["b"].astype(f32),
+        p["norm2"]["scale"].astype(f32), p["norm2"]["bias"].astype(f32),
+        m["w1"]["w"].astype(dtype), m["w1"]["b"].astype(f32),
+        m["w2"]["w"].astype(dtype), m["w2"]["b"].astype(f32),
+        m["ffn_ln"]["scale"].astype(f32), m["ffn_ln"]["bias"].astype(f32),
+        m["w3"]["w"].astype(dtype), m["w3"]["b"].astype(f32),
+    )
+
+
+def _weight_specs():
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _WEIGHT_NAMES]
+
+
+# ---------------------------------------------------------------------------
+# full (non-compressed) block
+# ---------------------------------------------------------------------------
+
+def _full_block_kernel(x_ref, *rest, num_heads, ws, use_rope, flat):
+    wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
+    rest = rest[len(_WEIGHT_NAMES):]
+    if use_rope:
+        cos_ref, sin_ref, o_ref = rest
+        cos = cos_ref[:].astype(jnp.float32)
+        sin = sin_ref[:].astype(jnp.float32)
+    else:
+        (o_ref,) = rest
+        cos = sin = None
+    n = ws * ws
+    c = x_ref.shape[-1]
+    x = x_ref[0] if flat else x_ref[0].reshape(n, c)
+
+    h = _ln(x, wrefs["ln1s"][:], wrefs["ln1b"][:])
+    x = x + _attention(h, wrefs, num_heads, cos, sin, n, x.dtype)
+    x = x + _swiglu(_ln(x, wrefs["ln2s"][:], wrefs["ln2b"][:]), wrefs)
+    o_ref[0] = x if flat else x.reshape(ws, ws, c)
+
+
+def _layout_plan(x, ws: int):
+    """Choose the kernel input layout. Image-layout blocks (1, ws, ws, C)
+    need ws % 8 == 0 (Mosaic: second-to-last block dim divisible by 8);
+    otherwise window-partition outside (one XLA copy each way) and feed
+    flat (W, n, C) blocks."""
+    from ..window import window_partition
+
+    b, h, w, c = x.shape
+    hp, wp = pad_hw(h, w, ws)
+    n = ws * ws
+    if ws % 8 == 0:
+        if hp > h or wp > w:
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        grid = (b, hp // ws, wp // ws)
+        spec = pl.BlockSpec((1, ws, ws, c), lambda bb, i, j: (bb, i, j, 0),
+                            memory_space=pltpu.VMEM)
+        shape = (b, hp, wp, c)
+
+        def unpack(out):
+            return out[:, :h, :w] if (hp > h or wp > w) else out
+
+        def widx(bb, i, j):
+            return bb * grid[1] * grid[2] + i * (wp // ws) + j
+
+        return x, grid, spec, shape, False, unpack, widx
+
+    xw, padded = window_partition(x, ws)          # (W, ws, ws, C)
+    nw = xw.shape[0]
+    xw = xw.reshape(nw, n, c)
+    grid = (nw,)
+    spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = (nw, n, c)
+
+    def unpack(out):
+        from ..window import window_unpartition
+        return window_unpartition(out.reshape(nw, ws, ws, c), ws, padded,
+                                  (h, w))
+
+    def widx(i):
+        return i
+
+    return xw, grid, spec, shape, True, unpack, widx
+
+
+def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
+                     interpret=None):
+    """x: (B, H, W, C) image layout -> (B, H, W, C). One kernel, grid over
+    windows; replaces block_forward's partition/attend/unpartition/MLP
+    pipeline (eva_vit.py block_forward, reference eva_vit.py:226-266)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, w, c = x.shape
+    ws = window_size
+    n = ws * ws
+    xk, grid, spec, shape, flat, unpack, _ = _layout_plan(x, ws)
+    use_rope = rope_tables is not None
+    weights = _flatten_params(p, x.dtype)
+    args = (xk,) + weights
+    in_specs = [spec] + _weight_specs()
+    if use_rope:
+        cos = jnp.asarray(rope_tables[0])[:n]
+        sin = jnp.asarray(rope_tables[1])[:n]
+        args = args + (cos, sin)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
+    kernel = functools.partial(_full_block_kernel, num_heads=num_heads,
+                               ws=ws, use_rope=use_rope, flat=flat)
+    nw = 1
+    for g in grid:
+        nw *= g
+    hidden = p["mlp"]["w1"]["w"].shape[1]
+    flops_w = (8 * n * c * c + 4 * n * n * c + 6 * n * c * hidden)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * len(grid),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=nw * flops_w,
+            bytes_accessed=2 * nw * n * c * x.dtype.itemsize,
+            transcendentals=nw * num_heads * n * n,
+        ),
+    )(*args)
+    return unpack(out)
+
+
+# ---------------------------------------------------------------------------
+# token-compressed (ToC3D accelerated) block
+# ---------------------------------------------------------------------------
+
+def _compressed_block_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
+                             num_heads, ws, k_slow, n_valid, use_rope,
+                             has_rep, flat):
+    wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
+    o_ref = rest[len(_WEIGHT_NAMES)]
+    n = ws * ws
+    c = x_ref.shape[-1]
+    x = x_ref[0] if flat else x_ref[0].reshape(n, c)
+    g = g_ref[0]                                     # (k_rows, n)
+    k_rows = g.shape[0]
+
+    s = jax.lax.dot_general(g, x, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(x.dtype)
+    cos = cos_ref[0].astype(jnp.float32) if use_rope else None
+    sin = sin_ref[0].astype(jnp.float32) if use_rope else None
+
+    h = _ln(s, wrefs["ln1s"][:], wrefs["ln1b"][:])
+    raw1 = _attention(h, wrefs, num_heads, cos, sin, n_valid, s.dtype)
+    s1 = s + raw1
+    raw2 = _swiglu(_ln(s1, wrefs["ln2s"][:], wrefs["ln2b"][:]), wrefs)
+    y = s1 + raw2
+
+    # scatter slow rows (exclude the rep/merge row k and zero padding rows)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (k_rows, n), 0) < k_slow
+    g_s = jnp.where(rowm, g, jnp.zeros_like(g))
+    out_slow = jax.lax.dot_general(g_s, y, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    slow_cols = jnp.sum(g_s.astype(jnp.float32), axis=0)[:, None]  # (n, 1)
+
+    if has_rep:
+        rep_delta = (raw1[k_slow:k_slow + 1, :]
+                     + raw2[k_slow:k_slow + 1, :]).astype(jnp.float32)
+    else:
+        rep_delta = jnp.zeros((1, c), jnp.float32)
+    fast = (x.astype(jnp.float32) + rep_delta) * (1.0 - slow_cols)
+    out = (out_slow + fast).astype(x.dtype)
+    o_ref[0] = out if flat else out.reshape(ws, ws, c)
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def build_gather_matrix(slow_idx, fast_idx, fast_score, n: int, k_rows: int,
+                        has_rep: bool, dtype):
+    """Per-window gather matrix G (W, k_rows, n):
+      rows 0..k-1: one-hot at slow_idx (token gather);
+      row k (if has_rep): normalized fast scores scattered to fast_idx
+        (merge_tokens weights, toc3d_utils.py:56-70);
+      remaining rows: zero (sublane padding).
+    """
+    w, k = slow_idx.shape
+    cols = jnp.arange(n, dtype=slow_idx.dtype)
+    onehot = (slow_idx[..., None] == cols).astype(dtype)       # (W, k, n)
+    rows = [onehot]
+    if has_rep:
+        denom = jnp.sum(fast_score, axis=1, keepdims=True)
+        wgt = (fast_score / denom).astype(dtype)               # (W, n-k)
+        merge = jnp.zeros((w, n), dtype).at[
+            jnp.arange(w)[:, None], fast_idx].set(wgt)
+        rows.append(merge[:, None, :])
+    used = k + (1 if has_rep else 0)
+    if k_rows > used:
+        rows.append(jnp.zeros((w, k_rows - used, n), dtype))
+    return jnp.concatenate(rows, axis=1)
+
+
+def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
+                           ratio: float, rope_tables, use_represent: bool,
+                           rope_acc: bool, interpret=None):
+    """Token-compressed ToC3D block as one kernel.
+
+    x: (B, H, W, C); scores: (B, H*W) importance (log-prob channel 0).
+    Math parity with models/toc3d_vit.py:toc3d_block_forward (reference
+    toc3d_eva_vit.py:395-473). Returns (B, H, W, C).
+    """
+    from ...models.token_select import sample_topk
+    from ..window import window_partition
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, w, c = x.shape
+    ws = window_size
+    n = ws * ws
+
+    # per-window top-k on the (small) score tensor — stays in XLA
+    sw, _ = window_partition(scores.reshape(b, h, w, 1), ws, pad_value=-1e6)
+    nw = sw.shape[0]
+    sw = sw.reshape(nw, n)
+    slow_score, fast_score, slow_idx, fast_idx = sample_topk(sw, ratio)
+    k = slow_idx.shape[-1]
+    has_rep = use_represent and (n - k) > 0
+    n_valid = k + 1 if has_rep else k
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    k_rows = _round_up(n_valid, sub)
+
+    g = build_gather_matrix(slow_idx, fast_idx, fast_score, n, k_rows,
+                            has_rep, x.dtype)
+
+    use_rope = rope_tables is not None and rope_acc
+    if use_rope:
+        cos_t = jnp.asarray(rope_tables[0])
+        sin_t = jnp.asarray(rope_tables[1])
+        if has_rep:
+            rep_idx = jnp.full((nw, 1), k, dtype=slow_idx.dtype)
+            sel = jnp.concatenate([slow_idx, rep_idx], axis=-1)
+        else:
+            sel = slow_idx
+        pad_rows = k_rows - sel.shape[-1]
+        if pad_rows:
+            sel = jnp.concatenate(
+                [sel, jnp.zeros((nw, pad_rows), sel.dtype)], axis=-1)
+        cos = jnp.take(cos_t, sel, axis=0)      # (W, k_rows, d)
+        sin = jnp.take(sin_t, sel, axis=0)
+    else:
+        d = c // num_heads
+        cos = jnp.zeros((nw, k_rows, d), jnp.float32)
+        sin = cos
+
+    xk, grid, spec, shape, flat, unpack, widx = _layout_plan(x, ws)
+    gspec = pl.BlockSpec((1, k_rows, n),
+                         lambda *ids: (widx(*ids), 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, k_rows, cos.shape[-1]),
+                         lambda *ids: (widx(*ids), 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    weights = _flatten_params(p, x.dtype)
+    kernel = functools.partial(_compressed_block_kernel, num_heads=num_heads,
+                               ws=ws, k_slow=k, n_valid=n_valid,
+                               use_rope=use_rope, has_rep=has_rep, flat=flat)
+    hidden = p["mlp"]["w1"]["w"].shape[1]
+    flops_w = (8 * k_rows * c * c + 4 * k_rows * k_rows * c
+               + 6 * k_rows * c * hidden + 4 * k_rows * n * c)
+    ntot = 1
+    for gdim in grid:
+        ntot *= gdim
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, gspec, tspec, tspec] + _weight_specs(),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * len(grid),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=ntot * flops_w,
+            bytes_accessed=2 * ntot * n * c * x.dtype.itemsize,
+            transcendentals=ntot * num_heads * k_rows * k_rows,
+        ),
+    )(xk, g, cos, sin, *weights)
+    return unpack(out)
