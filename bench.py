@@ -35,6 +35,61 @@ def make_frame(rng, b, n, h, w, prev_exists):
     }
 
 
+def bench_train(cfg, args):
+    """One full train step/s (grid-mask, ToC3D backbone with selection,
+    focal 2D head, DN, Hungarian via the device auction, AdamW)."""
+    import jax
+    import jax.numpy as jnp
+    from toc3d_tpu.models.detector import init_detector
+    from toc3d_tpu.runtime.train import (make_optimizer, init_train_state,
+                                         make_train_step)
+
+    b, n, g3, g2 = args.batch, 6, 32, 32
+    h, w = cfg.pad_shape
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    tx = make_optimizer(params, total_iters=1000)
+    state = init_train_state(params, tx, b, cfg)
+    step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch = make_frame(rng, b, n, h, w, 1.0)
+    boxes = rng.randn(b, g3, 9).astype(np.float32)
+    boxes[..., 3:6] = np.abs(boxes[..., 3:6]) + 1.0
+    b2d = np.sort(np.abs(rng.rand(b, n, g2, 2, 2)).astype(np.float32) * 300,
+                  axis=-2).reshape(b, n, g2, 4)
+    batch.update({
+        "gt_bboxes_3d": jnp.asarray(boxes),
+        "gt_labels_3d": jnp.asarray(rng.randint(0, 10, (b, g3))),
+        "gt_valid_3d": jnp.asarray(np.ones((b, g3), bool)),
+        "gt_bboxes_2d": jnp.asarray(b2d),
+        "gt_labels_2d": jnp.asarray(rng.randint(0, 10, (b, n, g2))),
+        "gt_centers_2d": jnp.asarray(
+            rng.rand(b, n, g2, 2).astype(np.float32) * 300),
+        "gt_valid_2d": jnp.asarray(np.ones((b, n, g2), bool)),
+    })
+
+    key = jax.random.PRNGKey(1)
+    for i in range(max(args.warmup // 20, 3)):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    np.asarray(metrics["total_loss"])
+    t0 = time.perf_counter()
+    iters = max(args.frames // 5, 10)
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    np.asarray(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"{args.config} train step/s (batch {b})",
+        "value": round(iters / dt, 4),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "loss": round(float(np.asarray(metrics["total_loss"])), 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ToC3D_faster_1600")
@@ -43,6 +98,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark one full train step (bf16+remat, DN + "
+                         "Hungarian losses) instead of inference")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +108,8 @@ def main():
     from toc3d_tpu.models.detector import init_detector, init_state, make_infer_fn
 
     cfg = get_config(args.config)
+    if args.train:
+        return bench_train(cfg, args)
     h, w = cfg.pad_shape
     b, n = args.batch, 6
 

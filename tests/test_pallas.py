@@ -108,3 +108,55 @@ def test_fused_compressed_block_matches_xla():
                                      interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_trainable_fused_blocks_grad_matches_xla():
+    """custom-VJP wrappers: kernel forward (interpret), gradients must equal
+    the XLA path's (the backward re-derives through the XLA body)."""
+    from toc3d_tpu.ops.pallas.vit_block import (
+        make_trainable_full_block, make_trainable_compressed_block)
+    from toc3d_tpu.models.eva_vit import _block_forward_xla, EVAViTConfig
+    from toc3d_tpu.models.toc3d_vit import (toc3d_block_forward,
+                                            ToC3DViTConfig)
+
+    rng = np.random.RandomState(3)
+    b, h, w, c, heads, ws = 2, 8, 8, 32, 2, 4
+    cfg = EVAViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                       window_size=ws)
+    p = _block_params(jax.random.PRNGKey(2), c, 64)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    tables = build_rope_table(c // heads // 2, ws, ws)
+
+    xla_fn = lambda p_, x_: _block_forward_xla(p_, x_, cfg, ws, tables)
+    f = make_trainable_full_block(xla_fn, heads, ws, tables)
+
+    def loss_fused(p_, x_):
+        return jnp.sum(f(p_, x_) ** 2)
+
+    def loss_xla(p_, x_):
+        return jnp.sum(xla_fn(p_, x_) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    for a, bb in zip(jax.tree_util.tree_leaves(gf),
+                     jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-4, rtol=1e-4)
+
+    # compressed variant: grads flow to params, tokens AND scores
+    tcfg = ToC3DViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                          window_size=ws, pruning_loc=(0,),
+                          token_ratio=(0.5,), global_attn_indexes=(9,))
+    scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
+    xla_c = lambda p_, x_, s_: toc3d_block_forward(p_, x_, s_, tcfg, ws,
+                                                   0.5, tables)
+    fc = make_trainable_compressed_block(xla_c, heads, ws, 0.5, tables,
+                                         True, True)
+    gf = jax.grad(lambda p_, x_, s_: jnp.sum(fc(p_, x_, s_) ** 2),
+                  argnums=(0, 1, 2))(p, x, scores)
+    gx = jax.grad(lambda p_, x_, s_: jnp.sum(xla_c(p_, x_, s_) ** 2),
+                  argnums=(0, 1, 2))(p, x, scores)
+    for a, bb in zip(jax.tree_util.tree_leaves(gf),
+                     jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-4, rtol=1e-4)

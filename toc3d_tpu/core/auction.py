@@ -53,26 +53,35 @@ def _auction_phase(benefit, valid, price, eps, max_iters):
         owner = jnp.where(got_bid, winner, owner)
         return price, owner
 
-    def body(i, state):
-        price, owner = state
-        done = jnp.all(assigned_mask(owner) | ~valid)
-        return jax.lax.cond(done, lambda s: s, round_fn, state)
+    def cond(state):
+        price, owner, it = state
+        return (it < max_iters) & ~jnp.all(assigned_mask(owner) | ~valid)
+
+    def body(state):
+        price, owner, it = state
+        price, owner = round_fn((price, owner))
+        return price, owner, it + 1
 
     owner = jnp.full((o,), -1, jnp.int32)
-    price, owner = jax.lax.fori_loop(0, max_iters, body, (price, owner))
+    price, owner, _ = jax.lax.while_loop(
+        cond, body, (price, owner, jnp.zeros((), jnp.int32)))
     return price, owner
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def auction_assign(cost, valid, max_iters: int = 1024):
+@functools.partial(jax.jit, static_argnames=("max_iters", "eps_div"))
+def auction_assign(cost, valid, max_iters: int = 16384,
+                   eps_div: float = 20000.0):
     """cost: (P, O) with P <= O; valid: (P,) bool. Minimizes total cost.
 
     Returns assigned_obj (P,) int32 (-1 for invalid persons).
 
-    Single cold phase at eps = spread/1000: suboptimality bound P*spread/1000
-    (empirically exact vs scipy on random problems at our sizes, converging
-    well under max_iters; warm-started eps-scaling phases were tried and
-    converged to much worse assignments, so they are deliberately absent).
+    Single cold phase at eps = spread/eps_div: suboptimality bound
+    P*spread/eps_div. At eps_div=20000 the solution is empirically EXACT vs
+    the host LAP on realistic (Q=900, G<=96) focal+L1 cost tensors
+    (tests/test_auction_scale.py); the while_loop exits as soon as every
+    valid person is assigned, so the high iteration cap costs nothing once
+    converged. Warm-started multi-phase eps-scaling was tried TWICE (round 1
+    and round 2) and converges far worse — deliberately absent.
     """
     p, o = cost.shape
     benefit = -cost.astype(jnp.float32)
@@ -81,7 +90,7 @@ def auction_assign(cost, valid, max_iters: int = 1024):
         jnp.max(jnp.where(valid[:, None], jnp.abs(benefit), 0.0)), 1.0)
 
     price = jnp.zeros((o,), jnp.float32)
-    price, owner = _auction_phase(benefit, valid, price, spread / 1000.0,
+    price, owner = _auction_phase(benefit, valid, price, spread / eps_div,
                                   max_iters)
 
     person_ids = jnp.arange(p, dtype=jnp.int32)

@@ -193,10 +193,26 @@ def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables,
     dp_rate/rng: train-time stochastic depth (Block.forward drop_path,
     eva_vit.py:262-263; the reference skips drop_path in the accelerated
     slow path, toc3d_eva_vit.py:366-386, and so do we)."""
-    if cfg.fused_blocks and rng is None and jax.default_backend() != "cpu":
-        from ..ops.pallas.vit_block import fused_full_block
-        return fused_full_block(p, x, cfg.num_heads, window_size,
-                                rope_tables)
+    if cfg.fused_blocks and jax.default_backend() != "cpu":
+        if rng is None:
+            from ..ops.pallas.vit_block import fused_full_block
+            return fused_full_block(p, x, cfg.num_heads, window_size,
+                                    rope_tables)
+        if dp_rate <= 0.0:
+            # training with no stochastic depth: kernel forward + exact
+            # XLA backward (custom VJP). With droppath active the delta
+            # masking lives inside the XLA body — keep the XLA path.
+            from ..ops.pallas.vit_block import make_trainable_full_block
+            xla_fn = lambda p_, x_: _block_forward_xla(
+                p_, x_, cfg, window_size, rope_tables, 0.0, None)
+            return make_trainable_full_block(
+                xla_fn, cfg.num_heads, window_size, rope_tables)(p, x)
+    return _block_forward_xla(p, x, cfg, window_size, rope_tables, dp_rate,
+                              rng)
+
+
+def _block_forward_xla(p, x, cfg: EVAViTConfig, window_size: int,
+                       rope_tables, dp_rate: float = 0.0, rng=None):
     b, h, w, c = x.shape
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=LN_EPS)

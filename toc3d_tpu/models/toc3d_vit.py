@@ -229,18 +229,33 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
         is_global = i in cfg.global_attn_indexes
         ws = cfg.global_window_size if is_global else cfg.window_size
         tables = rope_glb if is_global else rope_win
-        # fused megakernel: inference on TPU only (no VJP; training and the
-        # CPU test mesh keep the XLA path)
-        fused = (cfg.fused_blocks and rng is None and not remat
-                 and jax.default_backend() != "cpu")
+        # fused megakernel on TPU: raw kernel at inference; in training the
+        # custom-VJP wrapper keeps the kernel forward and re-derives exact
+        # gradients through the XLA path (the compressed block has no
+        # droppath, so semantics are identical)
+        fused = cfg.fused_blocks and jax.default_backend() != "cpu"
         if cfg.block_is_accelerated(i):
-            if fused:
+            if fused and rng is None and not remat:
                 from ..ops.pallas.vit_block import fused_compressed_block
                 x = fused_compressed_block(
                     params["blocks"][i], x, scores, cfg.num_heads, ws, ratio,
                     tables if cfg.rope else None,
                     use_represent=cfg.use_represent_tokens,
                     rope_acc=cfg.rope_acc)
+                continue
+            if fused:
+                from ..ops.pallas.vit_block import (
+                    make_trainable_compressed_block)
+                xla_fn = (lambda ws=ws, ratio=ratio, tables=tables: lambda
+                          p_, x_, s_: toc3d_block_forward(
+                              p_, x_, s_, cfg, ws, ratio, tables))()
+                f = make_trainable_compressed_block(
+                    xla_fn, cfg.num_heads, ws, ratio,
+                    tables if cfg.rope else None,
+                    cfg.use_represent_tokens, cfg.rope_acc)
+                if remat:
+                    f = jax.checkpoint(f)
+                x = f(params["blocks"][i], x, scores)
                 continue
             fwd = toc3d_block_forward
             if remat:

@@ -419,3 +419,61 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
         ),
     )(xk, g, cos, sin, *weights)
     return unpack(out)
+
+
+# ---------------------------------------------------------------------------
+# trainable wrappers: Pallas forward, exact XLA backward (custom VJP)
+# ---------------------------------------------------------------------------
+#
+# The kernels have no hand-written backward; instead the VJP re-derives
+# gradients through the XLA-path block implementation at the saved inputs
+# (remat-with-a-faster-primal semantics: the primal comes from the fused
+# kernel, the cotangents are exactly the XLA path's). This unlocks the
+# kernel win for the training forward pass while keeping autodiff exact.
+
+def make_trainable_full_block(xla_fn, num_heads: int, window_size: int,
+                              rope_tables):
+    """xla_fn(p, x) -> y: the XLA-path block closure used for the backward.
+    Returns f(p, x) with a custom VJP."""
+
+    @jax.custom_vjp
+    def f(p, x):
+        return fused_full_block(p, x, num_heads, window_size, rope_tables)
+
+    def fwd(p, x):
+        return f(p, x), (p, x)
+
+    def bwd(res, g):
+        p, x = res
+        _, vjp = jax.vjp(xla_fn, p, x)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def make_trainable_compressed_block(xla_fn, num_heads: int,
+                                    window_size: int, ratio: float,
+                                    rope_tables, use_represent: bool,
+                                    rope_acc: bool):
+    """Same pattern for the token-compressed block; scores participate in
+    the gradient (token-selection supervision flows through the soft mask,
+    not the hard routing, so the XLA-path vjp is the reference gradient)."""
+
+    @jax.custom_vjp
+    def f(p, x, scores):
+        return fused_compressed_block(p, x, scores, num_heads, window_size,
+                                      ratio, rope_tables,
+                                      use_represent=use_represent,
+                                      rope_acc=rope_acc)
+
+    def fwd(p, x, scores):
+        return f(p, x, scores), (p, x, scores)
+
+    def bwd(res, g):
+        p, x, scores = res
+        _, vjp = jax.vjp(xla_fn, p, x, scores)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
