@@ -1,19 +1,21 @@
 #!/usr/bin/env python
-"""Visualize detections: project 3D boxes from results_nusc.json onto the
-camera images.
+"""Visualize detections: GT-vs-pred box wireframes on each camera image and
+a top-down BEV panel per sample.
 
 Parity target: reference tools/visualize.py + visual_nuscenes.py (a forked
-devkit renderer). This devkit-free version draws projected box wireframes
-with PIL per camera.
+2289-LoC devkit renderer). This devkit-free version covers the two
+capabilities that matter for debugging accuracy: per-camera GT-vs-pred
+overlays and the BEV view (render_sample_data-style), all with PIL.
 
 Usage:
   python tools/visualize.py --results work_dirs/eval/results_nusc.json \\
       --ann data/nuscenes/nuscenes2d_temporal_infos_val.pkl \\
       --data-root data/nuscenes --out-dir vis --num-samples 20 \\
-      [--score-thresh 0.3]
+      [--score-thresh 0.3] [--no-gt] [--bev-range 55]
 """
 import argparse
 import json
+import math
 import os
 import sys
 
@@ -30,6 +32,84 @@ COLORS = {
     "bicycle": (220, 20, 60), "traffic_cone": (47, 79, 79),
     "barrier": (112, 128, 144),
 }
+GT_COLOR = (0, 200, 0)
+
+
+def draw_wireframe(draw, intr, g2c_r, c2g_t, anno, color, width=2):
+    from toc3d_tpu.data.nuscenes import quaternion_rotation_matrix
+    from toc3d_tpu.data.convert import _box_corners
+
+    center = g2c_r @ (np.asarray(anno["translation"]) - c2g_t)
+    if center[2] < 0.5:
+        return
+    rot_in_cam = g2c_r @ quaternion_rotation_matrix(
+        np.asarray(anno["rotation"]))
+    corners = _box_corners(center, anno["size"], rot_in_cam)
+    if (corners[2] < 0.1).any():
+        return
+    uv = intr @ corners
+    uv = (uv[:2] / uv[2]).T
+    for e0, e1 in EDGES:
+        draw.line([tuple(uv[e0]), tuple(uv[e1])], fill=color, width=width)
+
+
+def bev_corners(anno):
+    """4 ground-plane corners of a global-frame box, (4, 2) xy."""
+    from toc3d_tpu.data.nuscenes import quaternion_rotation_matrix
+
+    w, l, h = anno["size"]
+    rot = quaternion_rotation_matrix(np.asarray(anno["rotation"]))
+    x = l / 2 * np.array([1, 1, -1, -1])
+    y = w / 2 * np.array([1, -1, -1, 1])
+    pts = rot[:2, :2] @ np.stack([x, y]) + np.asarray(
+        anno["translation"])[:2, None]
+    return pts.T
+
+
+def render_bev(info, pred_annos, gt_annos, bev_range=55.0, size=800):
+    """Ego-centred top-down panel (visual_nuscenes render BEV equivalent):
+    GT green, predictions class-coloured, heading tick on each box."""
+    from PIL import Image, ImageDraw
+    from toc3d_tpu.data.nuscenes import quaternion_rotation_matrix
+
+    e2g_r = quaternion_rotation_matrix(info["ego2global_rotation"])
+    e2g_t = np.asarray(info["ego2global_translation"])
+    g2e_r = e2g_r.T
+
+    img = Image.new("RGB", (size, size), (20, 20, 20))
+    draw = ImageDraw.Draw(img)
+    scale = size / (2 * bev_range)
+
+    def px(pt_ego):
+        return (size / 2 + pt_ego[0] * scale, size / 2 - pt_ego[1] * scale)
+
+    # range rings every 10 m
+    for r in range(10, int(bev_range) + 1, 10):
+        bbox = [px((-r, r)), px((r, -r))]
+        draw.ellipse([bbox[0][0], bbox[0][1], bbox[1][0], bbox[1][1]],
+                     outline=(60, 60, 60))
+    # ego marker
+    draw.polygon([px((0, 1.5)), px((-0.8, -1)), px((0.8, -1))],
+                 fill=(255, 255, 255))
+
+    def draw_boxes(annos, color_fn, width):
+        for a in annos:
+            corners_g = bev_corners(a)                       # (4, 2) global
+            corners_e = (g2e_r[:2, :2] @ (corners_g - e2g_t[:2]).T).T
+            if np.abs(corners_e).max() > bev_range * 1.2:
+                continue
+            pts = [px(c) for c in corners_e]
+            draw.polygon(pts, outline=color_fn(a), width=width)
+            # heading tick: center -> midpoint of the front edge
+            center_e = corners_e.mean(axis=0)
+            front = (corners_e[0] + corners_e[1]) / 2
+            draw.line([px(center_e), px(front)], fill=color_fn(a),
+                      width=width)
+
+    draw_boxes(gt_annos, lambda a: GT_COLOR, 2)
+    draw_boxes(pred_annos,
+               lambda a: COLORS.get(a["detection_name"], (0, 160, 255)), 1)
+    return img
 
 
 def main():
@@ -40,21 +120,38 @@ def main():
     ap.add_argument("--out-dir", default="vis")
     ap.add_argument("--num-samples", type=int, default=20)
     ap.add_argument("--score-thresh", type=float, default=0.3)
+    ap.add_argument("--no-gt", action="store_true",
+                    help="skip the GT overlay (predictions only)")
+    ap.add_argument("--no-cams", action="store_true",
+                    help="render only the BEV panels")
+    ap.add_argument("--bev-range", type=float, default=55.0)
     args = ap.parse_args()
 
     from PIL import Image, ImageDraw
     from toc3d_tpu.data.nuscenes import NuScenesInfos, quaternion_rotation_matrix
-    from toc3d_tpu.data.convert import _box_corners
+    from toc3d_tpu.runtime.nusc_metrics import build_gt_from_infos
 
     with open(args.results) as f:
         preds = json.load(f)["results"]
     infos = NuScenesInfos(args.ann)
     os.makedirs(args.out_dir, exist_ok=True)
 
-    for idx in range(min(args.num_samples, len(infos))):
+    n = min(args.num_samples, len(infos))
+    gt_all = {}
+    if not args.no_gt and "gt_boxes" in infos.infos[0]:
+        gt_all = build_gt_from_infos(infos.infos[:n])
+
+    for idx in range(n):
         info = infos.infos[idx]
         annos = [a for a in preds.get(info["token"], [])
                  if a["detection_score"] >= args.score_thresh]
+        gt_annos = gt_all.get(info["token"], [])
+
+        img = render_bev(info, annos, gt_annos, args.bev_range)
+        img.save(os.path.join(args.out_dir, f"{idx:04d}_BEV.jpg"))
+
+        if args.no_cams:
+            continue
         for cam_name, cam in info["cams"].items():
             path = cam["data_path"]
             if args.data_root and not path.startswith("/"):
@@ -73,22 +170,11 @@ def main():
             c2g_r = e2g_r @ l2e_r @ c2l_r
             c2g_t = e2g_r @ (l2e_r @ c2l_t + l2e_t) + e2g_t
             g2c_r = c2g_r.T
+            for a in gt_annos:
+                draw_wireframe(draw, intr, g2c_r, c2g_t, a, GT_COLOR, 2)
             for a in annos:
-                center = g2c_r @ (np.asarray(a["translation"]) - c2g_t)
-                if center[2] < 0.5:
-                    continue
-                qg = np.asarray(a["rotation"])
-                box_r = quaternion_rotation_matrix(qg)
-                rot_in_cam = g2c_r @ box_r
-                corners = _box_corners(center, a["size"], rot_in_cam)
-                if (corners[2] < 0.1).any():
-                    continue
-                uv = intr @ corners
-                uv = (uv[:2] / uv[2]).T
                 color = COLORS.get(a["detection_name"], (0, 255, 0))
-                for e0, e1 in EDGES:
-                    draw.line([tuple(uv[e0]), tuple(uv[e1])], fill=color,
-                              width=2)
+                draw_wireframe(draw, intr, g2c_r, c2g_t, a, color, 2)
             img.save(os.path.join(args.out_dir,
                                   f"{idx:04d}_{cam_name}.jpg"))
         if (idx + 1) % 5 == 0:
