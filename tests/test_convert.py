@@ -153,3 +153,36 @@ def test_converter_pkl_feeds_dataset(tmp_path):
     np.testing.assert_allclose(ann["gt_bboxes_3d"][0, 2], -0.9 - 1.8 / 2,
                                atol=1e-5)
     assert not infos.prev_exists(0) and infos.prev_exists(1)
+
+
+def test_post_process_coords_hull_vs_minmax():
+    """Hull-canvas intersection (devkit post_process_coords semantics):
+    a diagonal segment crossing the canvas gives a TIGHTER box than
+    min/max-clip of the endpoints; fully-inside points reduce to min/max;
+    a hull entirely off-canvas returns None."""
+    import numpy as np
+    from toc3d_tpu.data.convert import post_process_coords
+
+    # fully inside: equals plain min/max
+    pts = np.array([[10, 20], [200, 50], [120, 300], [30, 250]], float)
+    out = post_process_coords(pts)
+    assert out == (10.0, 20.0, 200.0, 300.0)
+
+    # diagonal segment from (-100, 0) to (1700, 900): min/max-clip would
+    # give the full canvas in y at x=0; the hull-canvas intersection enters
+    # at y = 100*900/1800 = 50 and leaves at y = 1700/1800*900 = 850
+    pts = np.array([[-100, 0], [1700, 900]], float)
+    x1, y1, x2, y2 = post_process_coords(pts)
+    assert x1 == 0.0 and x2 == 1600.0
+    assert abs(y1 - 50.0) < 1e-6 and abs(y2 - 850.0) < 1e-6
+
+    # entirely off-canvas
+    assert post_process_coords(np.array([[-50, -50], [-10, -20]], float)) \
+        is None
+
+    # triangle overlapping the left edge: x clipped, ys from the clipped poly
+    pts = np.array([[-100, 100], [100, 100], [100, 300]], float)
+    x1, y1, x2, y2 = post_process_coords(pts)
+    assert x1 == 0.0 and x2 == 100.0
+    # at x=0 the hypotenuse (-100,100)->(100,300) has y=200
+    assert y1 == 100.0 and abs(y2 - 300.0) < 1e-6

@@ -12,11 +12,11 @@ sample_annotation.json, instance.json, category.json, scene.json); this
 module reads them directly so the converter runs on images without the
 devkit installed.
 
-Known simplification: the reference's 2D box post-processing intersects
-the convex hull of projected corners with the image canvas (shapely);
-here corners behind the camera are dropped and the min/max box of the
-remaining projections is clipped to the canvas — identical except when a
-hull edge crosses an image corner.
+2D box post-processing matches the reference exactly: the convex hull of
+the projected in-front corners is intersected with the image canvas
+(post_process_coords — restated without shapely via a monotone-chain hull
+and Sutherland–Hodgman clipping) and the min/max of the intersection is
+the 2D box.
 """
 from __future__ import annotations
 
@@ -205,10 +205,86 @@ def _box_corners(center, wlh, rot_mat):
     return rot_mat @ np.stack([x, y, z]) + np.asarray(center)[:, None]
 
 
+def _convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull. points: (N, 2) -> (H, 2) CCW."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(iterable):
+        hull = []
+        for p in iterable:
+            while len(hull) >= 2 and np.cross(hull[-1] - hull[-2],
+                                              p - hull[-2]) <= 0:
+                hull.pop()
+            hull.append(p)
+        return hull
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def _clip_polygon(poly: np.ndarray, w: float, h: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of a convex polygon against [0,w]x[0,h]."""
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, nxt = pts[i], pts[(i + 1) % n]
+            if inside(cur):
+                out.append(cur)
+                if not inside(nxt):
+                    out.append(intersect(cur, nxt))
+            elif inside(nxt):
+                out.append(intersect(cur, nxt))
+        return out
+
+    def x_cut(x0):
+        def f(a, b):
+            t = (x0 - a[0]) / (b[0] - a[0])
+            return np.array([x0, a[1] + t * (b[1] - a[1])])
+        return f
+
+    def y_cut(y0):
+        def f(a, b):
+            t = (y0 - a[1]) / (b[1] - a[1])
+            return np.array([a[0] + t * (b[0] - a[0]), y0])
+        return f
+
+    pts = [p for p in np.asarray(poly, np.float64)]
+    for inside, inter in (
+            (lambda p: p[0] >= 0, x_cut(0.0)),
+            (lambda p: p[0] <= w, x_cut(float(w))),
+            (lambda p: p[1] >= 0, y_cut(0.0)),
+            (lambda p: p[1] <= h, y_cut(float(h)))):
+        if not pts:
+            return np.zeros((0, 2))
+        pts = clip_edge(pts, inside, inter)
+    return np.asarray(pts).reshape(-1, 2)
+
+
+def post_process_coords(corner_coords: np.ndarray, img_wh=(1600, 900)):
+    """Convex hull of projected corners intersected with the image canvas
+    (devkit nuscenes_converter.post_process_coords, restated without
+    shapely). corner_coords: (N, 2) pixel uv of the in-front corners.
+    Returns (x1, y1, x2, y2) or None when the hull misses the canvas."""
+    hull = _convex_hull(np.asarray(corner_coords, np.float64))
+    if len(hull) == 0:
+        return None
+    inter = _clip_polygon(hull, img_wh[0], img_wh[1])
+    if len(inter) == 0:
+        return None
+    x1, y1 = inter.min(axis=0)
+    x2, y2 = inter.max(axis=0)
+    return float(x1), float(y1), float(x2), float(y2)
+
+
 def _project_2d(tables, sample, cam_info, img_wh=(1600, 900),
                 visibilities=("", "1", "2", "3", "4")):
-    """Per-camera 2D annotations (get_2d_boxes semantics; see module
-    docstring for the hull-vs-minmax simplification)."""
+    """Per-camera 2D annotations (get_2d_boxes semantics, incl. the
+    hull-canvas intersection post-processing)."""
     sd = tables.get("sample_data", cam_info["sample_data_token"])
     calib = tables.get("calibrated_sensor", sd["calibrated_sensor_token"])
     pose = tables.get("ego_pose", sd["ego_pose_token"])
@@ -235,10 +311,10 @@ def _project_2d(tables, sample, cam_info, img_wh=(1600, 900),
         pts = corners[:, in_front]
         uv = (intr @ pts)
         uv = uv[:2] / uv[2]
-        x1, y1 = uv[0].min(), uv[1].min()
-        x2, y2 = uv[0].max(), uv[1].max()
-        x1, x2 = np.clip([x1, x2], 0, w_img)
-        y1, y2 = np.clip([y1, y2], 0, h_img)
+        coords = post_process_coords(uv.T, (w_img, h_img))
+        if coords is None:
+            continue
+        x1, y1, x2, y2 = coords
         if x2 <= x1 or y2 <= y1:
             continue
         if center[2] < 0.1:
