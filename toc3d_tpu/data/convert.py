@@ -212,11 +212,13 @@ def _convex_hull(points: np.ndarray) -> np.ndarray:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
+    def cross2(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
     def half(iterable):
         hull = []
         for p in iterable:
-            while len(hull) >= 2 and np.cross(hull[-1] - hull[-2],
-                                              p - hull[-2]) <= 0:
+            while len(hull) >= 2 and cross2(hull[-2], hull[-1], p) <= 0:
                 hull.pop()
             hull.append(p)
         return hull

