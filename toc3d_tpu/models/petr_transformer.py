@@ -33,6 +33,12 @@ class DecoderConfig:
     num_layers: int = 6
     feedforward_channels: int = 2048
     dropout: float = 0.1
+    # Route attention cores through the Pallas flash kernel
+    # (ops/pallas/cross_attn.py) whenever no mask/weights/dropout are
+    # requested — i.e. the whole eval decoder. Cross-attention is the head's
+    # hot op (900 q x 30k kv at 1600x800); the kernel keeps the f32 logits
+    # in VMEM instead of ~864 MB/layer of HBM round trips.
+    fused_attn: bool = True
 
 
 def init_ffn(key, cfg: DecoderConfig):
@@ -103,14 +109,16 @@ def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
         tk, tp = query, query_pos
     out, _ = mha(p["self_attn"], query + query_pos, tk + tp, tk,
                  cfg.num_heads, attn_mask=self_attn_mask,
-                 dropout_rate=cfg.dropout, dropout_rng=r(3))
+                 dropout_rate=cfg.dropout, dropout_rng=r(3),
+                 fused=cfg.fused_attn)
     query = query + _dropout(out, r(0), cfg.dropout, 0)
     query = layer_norm(p["norm0"], query, eps=LN_EPS)
 
     # cross attention to image tokens
     out, attn_w = mha(p["cross_attn"], query + query_pos, key + key_pos, value,
                       cfg.num_heads, return_weights=need_weights,
-                      dropout_rate=cfg.dropout, dropout_rng=r(4))
+                      dropout_rate=cfg.dropout, dropout_rng=r(4),
+                      fused=cfg.fused_attn)
     query = query + _dropout(out, r(1), cfg.dropout, 1)
     query = layer_norm(p["norm1"], query, eps=LN_EPS)
 

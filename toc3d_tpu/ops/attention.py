@@ -130,7 +130,7 @@ def init_mha(key, embed_dim, num_heads):
 
 def mha(p, query, key, value, num_heads: int,
         attn_mask: Optional[jnp.ndarray] = None, return_weights: bool = False,
-        dropout_rate: float = 0.0, dropout_rng=None):
+        dropout_rate: float = 0.0, dropout_rng=None, fused: bool = False):
     """Batch-first multi-head attention.
 
     query: (B, Q, C); key/value: (B, K, C).
@@ -138,8 +138,33 @@ def mha(p, query, key, value, num_heads: int,
     or additive float mask. dropout_rate/dropout_rng: attention-probability
     dropout (torch MHA attn_drop), applied only when an rng is given.
     Returns (out, attn_weights-mean-over-heads or None).
+
+    fused: route the softmax(QK^T)V core through the Pallas flash kernel
+    (ops/pallas/cross_attn.py) — logits stay in VMEM instead of the f32
+    (B, H, Q, K) HBM round trip. Only taken when no mask / weights /
+    dropout are requested (the eval decoder configuration); differentiable
+    via the kernel's custom VJP. On CPU the kernel would run in interpret
+    mode (many times slower than XLA and numerically identical anyway), so
+    the fused route additionally requires a non-CPU backend unless
+    ops.pallas.cross_attn.FORCE_FUSED_ON_CPU is set (kernel-parity tests).
     """
     b, nq, c = query.shape
+    if fused and attn_mask is None and not return_weights \
+            and (dropout_rng is None or dropout_rate <= 0.0):
+        from .pallas import cross_attn as _ca
+        fused = (jax.default_backend() != "cpu"
+                 or _ca.FORCE_FUSED_ON_CPU)
+    else:
+        fused = False
+    if fused:
+        from .pallas.cross_attn import flash_attention
+        scale = (c // num_heads) ** -0.5
+        q = linear(p["q_proj"], query) * scale
+        k = linear(p["k_proj"], key)
+        v = linear(p["v_proj"], value)
+        out = flash_attention(q.astype(v.dtype), k.astype(v.dtype), v,
+                              num_heads)
+        return linear(p["out_proj"], out), None
     q = _split_heads(linear(p["q_proj"], query), num_heads)
     k = _split_heads(linear(p["k_proj"], key), num_heads)
     v = _split_heads(linear(p["v_proj"], value), num_heads)
