@@ -14,6 +14,7 @@ Design notes (TPU-first, not a port):
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
@@ -117,17 +118,50 @@ def init_eva_vit(key, cfg: EVAViTConfig):
 # forward
 # ---------------------------------------------------------------------------
 
+def _patch_embed_conv(p, x, patch_size: int):
+    return conv2d(p, x, stride=patch_size, padding="VALID")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _patch_embed_fused(p, x, patch_size: int):
+    from ..ops.pallas.patch_embed import patchify_matmul
+    return patchify_matmul(x, p["w"], p["b"], patch_size)
+
+
+def _pe_fwd(p, x, patch_size):
+    return _patch_embed_fused(p, x, patch_size), (p, x)
+
+
+def _pe_bwd(patch_size, res, g):
+    p, x = res
+    _, vjp = jax.vjp(lambda pp, xx: _patch_embed_conv(pp, xx, patch_size),
+                     p, x)
+    return vjp(g)
+
+
+_patch_embed_fused.defvjp(_pe_fwd, _pe_bwd)
+
+
 def patch_embed(p, x, patch_size: int):
     """x: (B, H, W, 3) -> (B, H/ps, W/ps, C).
 
-    Kept as a conv: a patch-extract reshape + matmul variant was tried and
-    the (B, h, ps, w, ps, 3) transpose costs ~125 ms at 1600x800 on TPU
-    (tiny trailing dim), dwarfing the conv's ~6 ms.
+    Off-CPU this runs the Pallas patchify-as-matmul kernel
+    (ops/pallas/patch_embed.py): XLA's conv fusion for a 3-channel 16x16
+    stride-16 conv runs at ~10 TFLOP/s and drags a full-image layout copy
+    with it (~7 ms/frame at 1600x800 vs ~1 ms fused). A pure-XLA
+    reshape+matmul variant was also tried and is WORSE than the conv (the
+    (B, h, ps, w, ps, 3) transpose costs ~125 ms; without the conv XLA also
+    picks a bad input layout). CPU keeps the conv (interpret mode crawls);
+    tests force the kernel via ops.pallas.patch_embed.FORCE_FUSED_ON_CPU.
     """
     assert x.shape[1] % patch_size == 0 and x.shape[2] % patch_size == 0, (
         f"image size {x.shape[1:3]} must be a multiple of patch_size="
         f"{patch_size}; pad inputs (PadMultiViewImage pads to /32)")
-    return conv2d(p, x, stride=patch_size, padding="VALID")
+    from ..ops.pallas import patch_embed as _pe
+    if ("b" in p and x.shape[-1] == 3
+            and (jax.default_backend() != "cpu" or _pe.FORCE_FUSED_ON_CPU)):
+        return _patch_embed_fused(p, x, patch_size)
+    return _patch_embed_conv(p, x, patch_size)
 
 
 def init_res_bottleneck(key, dim: int):
