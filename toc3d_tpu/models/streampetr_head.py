@@ -276,13 +276,14 @@ def location_grid(h: int, w: int, stride: int, pad_h: int, pad_w: int):
 
 
 def position_embeding(params, cfg: StreamPETRHeadConfig, data, centers,
-                      topk_indexes):
+                      topk_indexes, embed_dtype=None):
     """3D positional embedding from LID-binned frustum rays
     (streampetr_head.py:379-422).
 
     data: dict with 'intrinsics' (B, N, 4, 4), 'img2lidar' (B, N, 4, 4),
     pad shape in data['pad_shape'] (static). centers: (h, w, 2) normalized.
-    Returns (pos_embed (B, K, C), cone (B, K, 8)).
+    embed_dtype: dtype for the position_encoder MLP (the frustum geometry
+    itself always runs f32). Returns (pos_embed (B, K, C), cone (B, K, 8)).
     """
     eps = 1e-5
     b, n = data["intrinsics"].shape[:2]
@@ -323,8 +324,10 @@ def position_embeding(params, cfg: StreamPETRHeadConfig, data, centers,
     coords3d = (coords3d - pr[0:3]) / (pr[3:6] - pr[0:3])
     coords3d = coords3d.reshape(b, k, d * 3)
 
-    pos_embed = mlp_relu(params["position_encoder"],
-                         inverse_sigmoid(coords3d))
+    pos_in = inverse_sigmoid(coords3d)
+    if embed_dtype is not None:
+        pos_in = pos_in.astype(embed_dtype)
+    pos_embed = mlp_relu(params["position_encoder"], pos_in)
     # cone: intrinsics + last-bin xyz + bin-(D-30) xyz (focal-petr spatial cue)
     intrinsic = topk_gather(intrinsic, topk_indexes)
     cone = jnp.concatenate([intrinsic, coords3d[..., -3:],
@@ -415,14 +418,22 @@ def head_forward(params, cfg: StreamPETRHeadConfig, feats, data,
     b, n, h, w, c = feats.shape
     memory = feats.reshape(b, n * h * w, c)
     memory = topk_gather(memory, topk_indexes)
+    if cfg.compute_dtype == "bfloat16":
+        # cast the K-token stream before its embed/alignment MLPs: these are
+        # bandwidth-bound (30k tokens at 1600x800) and f32 here doubles the
+        # HBM traffic for no eval-accuracy gain (geometry stays f32 inside
+        # position_embeding; only the learned projections run bf16)
+        memory = memory.astype(jnp.bfloat16)
 
     centers = location_grid(h, w, cfg.stride, *data["pad_shape"])
     pos_embed, cone = position_embeding(params, cfg, data, centers,
-                                        topk_indexes)
+                                        topk_indexes,
+                                        embed_dtype=memory.dtype)
 
     memory = mlp_relu(params["memory_embed"], memory)
     memory = mln(params["spatial_alignment"], memory, cone.astype(memory.dtype))
-    pos_embed = se_linear(params["featurized_pe"], pos_embed, memory)
+    pos_embed = se_linear(params["featurized_pe"],
+                          pos_embed.astype(memory.dtype), memory)
 
     reference_points = params["reference_points"]                # (Q, 3)
     if dn is not None:
