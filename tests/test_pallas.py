@@ -127,14 +127,16 @@ def test_trainable_fused_blocks_grad_matches_xla():
     x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
     tables = build_rope_table(c // heads // 2, ws, ws)
 
-    xla_fn = lambda p_, x_: _block_forward_xla(p_, x_, cfg, ws, tables)
-    f = make_trainable_full_block(xla_fn, heads, ws, tables)
+    xla_fn = lambda p_, x_, t_: _block_forward_xla(p_, x_, cfg, ws,
+                                                   t_ if t_ else None)
+    f0 = make_trainable_full_block(xla_fn, heads, ws)
+    f = lambda p_, x_: f0(p_, x_, tuple(tables))
 
     def loss_fused(p_, x_):
         return jnp.sum(f(p_, x_) ** 2)
 
     def loss_xla(p_, x_):
-        return jnp.sum(xla_fn(p_, x_) ** 2)
+        return jnp.sum(xla_fn(p_, x_, tuple(tables)) ** 2)
 
     gf = jax.grad(loss_fused, argnums=(0, 1))(p, x)
     gx = jax.grad(loss_xla, argnums=(0, 1))(p, x)
@@ -148,15 +150,32 @@ def test_trainable_fused_blocks_grad_matches_xla():
                           window_size=ws, pruning_loc=(0,),
                           token_ratio=(0.5,), global_attn_indexes=(9,))
     scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
-    xla_c = lambda p_, x_, s_: toc3d_block_forward(p_, x_, s_, tcfg, ws,
-                                                   0.5, tables)
-    fc = make_trainable_compressed_block(xla_c, heads, ws, 0.5, tables,
-                                         True, True)
+    xla_c = lambda p_, x_, s_, t_: toc3d_block_forward(
+        p_, x_, s_, tcfg, ws, 0.5, t_ if t_ else None)
+    fc0 = make_trainable_compressed_block(xla_c, heads, ws, 0.5, True, True)
+    fc = lambda p_, x_, s_: fc0(p_, x_, s_, tuple(tables))
     gf = jax.grad(lambda p_, x_, s_: jnp.sum(fc(p_, x_, s_) ** 2),
                   argnums=(0, 1, 2))(p, x, scores)
-    gx = jax.grad(lambda p_, x_, s_: jnp.sum(xla_c(p_, x_, s_) ** 2),
+    gx = jax.grad(lambda p_, x_, s_: jnp.sum(
+        xla_c(p_, x_, s_, tuple(tables)) ** 2),
                   argnums=(0, 1, 2))(p, x, scores)
     for a, bb in zip(jax.tree_util.tree_leaves(gf),
                      jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-4, rtol=1e-4)
+
+    # REGRESSION (train-on-TPU): the wrappers must survive jax.checkpoint
+    # inside an outer jit'd grad — rope tables used to be closure-captured
+    # by the custom VJP and leaked as tracers under remat
+    # (UnexpectedTracerError in the ToC3D-Faster train step, layer 0).
+    def remat_loss(p_, x_):
+        y = jax.checkpoint(lambda pp, xx, tt: f0(pp, xx, tt))(
+            p_, x_, tuple(tables))
+        return jnp.sum(y ** 2)
+
+    g_remat = jax.jit(jax.grad(remat_loss, argnums=(0, 1)))(p, x)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_remat),
+                     jax.tree_util.tree_leaves(gx_full := jax.grad(
+                         loss_xla, argnums=(0, 1))(p, x))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=1e-4, rtol=1e-4)

@@ -236,11 +236,14 @@ def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables,
             # training with no stochastic depth: kernel forward + exact
             # XLA backward (custom VJP). With droppath active the delta
             # masking lives inside the XLA body — keep the XLA path.
+            # RoPE tables are explicit operands of the custom-VJP wrapper
+            # (closure capture leaks tracers under train-step remat).
             from ..ops.pallas.vit_block import make_trainable_full_block
-            xla_fn = lambda p_, x_: _block_forward_xla(
-                p_, x_, cfg, window_size, rope_tables, 0.0, None)
+            xla_fn = lambda p_, x_, t_: _block_forward_xla(
+                p_, x_, cfg, window_size, t_ if t_ else None, 0.0, None)
             return make_trainable_full_block(
-                xla_fn, cfg.num_heads, window_size, rope_tables)(p, x)
+                xla_fn, cfg.num_heads, window_size)(
+                    p, x, tuple(rope_tables) if rope_tables else ())
     return _block_forward_xla(p, x, cfg, window_size, rope_tables, dp_rate,
                               rng)
 

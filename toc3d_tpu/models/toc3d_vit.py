@@ -246,16 +246,20 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
             if fused:
                 from ..ops.pallas.vit_block import (
                     make_trainable_compressed_block)
-                xla_fn = (lambda ws=ws, ratio=ratio, tables=tables: lambda
-                          p_, x_, s_: toc3d_block_forward(
-                              p_, x_, s_, cfg, ws, ratio, tables))()
+                # RoPE tables travel as explicit operands (tuple, or () for
+                # no-rope) — closing over them inside the custom-VJP leaks
+                # tracers under jax.checkpoint (train-step remat)
+                xla_fn = (lambda ws=ws, ratio=ratio: lambda
+                          p_, x_, s_, t_: toc3d_block_forward(
+                              p_, x_, s_, cfg, ws, ratio,
+                              t_ if t_ else None))()
                 f = make_trainable_compressed_block(
                     xla_fn, cfg.num_heads, ws, ratio,
-                    tables if cfg.rope else None,
                     cfg.use_represent_tokens, cfg.rope_acc)
                 if remat:
                     f = jax.checkpoint(f)
-                x = f(params["blocks"][i], x, scores)
+                targ = tuple(tables) if (cfg.rope and tables) else ()
+                x = f(params["blocks"][i], x, scores, targ)
                 continue
             fwd = toc3d_block_forward
             if remat:

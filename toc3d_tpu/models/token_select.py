@@ -186,8 +186,6 @@ def selector_score(p, cfg: SelectorConfig, tokens_hw, mask, motion_ctx,
         x = x * mask.astype(x.dtype)
     x = x.reshape(bn, h * w, c)
 
-    mlp_score = score_mlp_forward(p["score_mlp"], x)           # (BN, N, 2)
-
     queries = get_motion_aware_queries(
         p, cfg, motion_ctx["temp_queries"], motion_ctx["temp_ref_points"],
         motion_ctx["temp_vel"], motion_ctx["temp_timestamp"],
@@ -197,15 +195,29 @@ def selector_score(p, cfg: SelectorConfig, tokens_hw, mask, motion_ctx,
     b = prev_exists.shape[0]
     pe = prev_exists.reshape(b, 1, 1, 1).astype(q_score.dtype)
     pe = jnp.broadcast_to(pe, (b, bn // b, 1, 1)).reshape(bn, 1, 1)
-    if train_blend:
-        # reference train-time blend keeps only channel 0 of the mlp score
-        # (toc3d_utils.py:264-266) — broadcast over both channels
-        pred = mlp_score[..., :1] * (1.0 - pe) + q_score * pe
-    else:
+
+    # The score-MLP fallback only contributes on first frames (pe=0 lanes);
+    # in steady-state streaming every lane has pe=1 and the blend returns
+    # q_score exactly, so skip the 30k-token MLP at runtime via lax.cond
+    # (the reference python-branches on the same flag, toc3d_utils.py:262).
+    def _with_mlp(arg):
+        x_, q_ = arg
+        mlp_score = score_mlp_forward(p["score_mlp"], x_)      # (BN, N, 2)
+        if train_blend:
+            # reference train-time blend keeps only channel 0 of the mlp
+            # score (toc3d_utils.py:264-266) — broadcast over both channels
+            return mlp_score[..., :1] * (1.0 - pe) + q_ * pe
         # eval first-frame fallback uses the full 2-channel mlp score
-        # (toc3d_utils.py:269-273); blended per-lane instead of a python
-        # branch so the step stays jittable
-        pred = mlp_score * (1.0 - pe) + q_score * pe
+        # (toc3d_utils.py:269-273); blended per-lane so mixed batches stay
+        # exact
+        return mlp_score * (1.0 - pe) + q_ * pe
+
+    def _steady(arg):
+        _, q_ = arg
+        return q_
+
+    pred = jax.lax.cond(jnp.all(prev_exists > 0), _steady, _with_mlp,
+                        (x, q_score))
     return pred[..., 0], pred, attn
 
 

@@ -466,22 +466,26 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
 # kernel, the cotangents are exactly the XLA path's). This unlocks the
 # kernel win for the training forward pass while keeping autodiff exact.
 
-def make_trainable_full_block(xla_fn, num_heads: int, window_size: int,
-                              rope_tables):
-    """xla_fn(p, x) -> y: the XLA-path block closure used for the backward.
-    Returns f(p, x) with a custom VJP."""
+def make_trainable_full_block(xla_fn, num_heads: int, window_size: int):
+    """xla_fn(p, x, tables) -> y: the XLA-path block used for the backward.
+    Returns f(p, x, tables) with a custom VJP; tables is the () or
+    (cos, sin) RoPE pair passed as an explicit operand — closing over it
+    would capture a tracer when the wrapper is built inside a remat trace
+    (jax.checkpoint in the train step) and leak it into later layers."""
 
     @jax.custom_vjp
-    def f(p, x):
-        return fused_full_block(p, x, num_heads, window_size, rope_tables)
+    def f(p, x, tables):
+        return fused_full_block(p, x, num_heads, window_size,
+                                tables if tables else None)
 
-    def fwd(p, x):
-        return f(p, x), (p, x)
+    def fwd(p, x, tables):
+        return f(p, x, tables), (p, x, tables)
 
     def bwd(res, g):
-        p, x = res
-        _, vjp = jax.vjp(xla_fn, p, x)
-        return vjp(g)
+        p, x, tables = res
+        _, vjp = jax.vjp(lambda p_, x_: xla_fn(p_, x_, tables), p, x)
+        dp, dx = vjp(g)
+        return dp, dx, jax.tree_util.tree_map(jnp.zeros_like, tables)
 
     f.defvjp(fwd, bwd)
     return f
@@ -489,26 +493,29 @@ def make_trainable_full_block(xla_fn, num_heads: int, window_size: int,
 
 def make_trainable_compressed_block(xla_fn, num_heads: int,
                                     window_size: int, ratio: float,
-                                    rope_tables, use_represent: bool,
-                                    rope_acc: bool):
+                                    use_represent: bool, rope_acc: bool):
     """Same pattern for the token-compressed block; scores participate in
     the gradient (token-selection supervision flows through the soft mask,
-    not the hard routing, so the XLA-path vjp is the reference gradient)."""
+    not the hard routing, so the XLA-path vjp is the reference gradient).
+    RoPE tables are an explicit operand for the same remat-leak reason as
+    make_trainable_full_block."""
 
     @jax.custom_vjp
-    def f(p, x, scores):
+    def f(p, x, scores, tables):
         return fused_compressed_block(p, x, scores, num_heads, window_size,
-                                      ratio, rope_tables,
+                                      ratio, tables if tables else None,
                                       use_represent=use_represent,
                                       rope_acc=rope_acc)
 
-    def fwd(p, x, scores):
-        return f(p, x, scores), (p, x, scores)
+    def fwd(p, x, scores, tables):
+        return f(p, x, scores, tables), (p, x, scores, tables)
 
     def bwd(res, g):
-        p, x, scores = res
-        _, vjp = jax.vjp(xla_fn, p, x, scores)
-        return vjp(g)
+        p, x, scores, tables = res
+        _, vjp = jax.vjp(lambda p_, x_, s_: xla_fn(p_, x_, s_, tables),
+                         p, x, scores)
+        dp, dx, ds = vjp(g)
+        return dp, dx, ds, jax.tree_util.tree_map(jnp.zeros_like, tables)
 
     f.defvjp(fwd, bwd)
     return f
