@@ -99,12 +99,15 @@ def _motion_ctx_from_memory(cfg: DetectorConfig, memory: MemoryBank, frame):
 
 def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
                      frame, rope_tables=None, rng=None, remat=False,
-                     mask_rng=None):
+                     mask_rng=None, fused_ok: bool = True):
     """img: (B, N, H, W, 3) normalized images -> (feats (B, N, h, w, C), aux).
 
     aux carries the token-compression masks/indices for loss and vis.
     mask_rng: eval-only PRNG for the reference-parity stochastic token mask
     (ToC3DViTConfig.eval_mask='gumbel').
+    fused_ok: the train step passes False — Pallas kernels compiled into
+    the single differentiated train program kernel-fault the axon TPU
+    worker (eva_vit.block_forward docstring); inference keeps them.
     """
     b, n, h, w, c = img.shape
     x = img.reshape(b * n, h, w, c)
@@ -117,11 +120,11 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
         feats, aux = toc3d_vit_forward(
             params["img_backbone"], x, cfg.backbone, motion_ctx,
             frame["prev_exists"], rope_tables=rope_tables, rng=rng,
-            remat=remat, mask_rng=mask_rng)
+            remat=remat, mask_rng=mask_rng, fused_ok=fused_ok)
     else:
         feats = eva_vit_forward(params["img_backbone"], x, cfg.backbone,
                                 rope_tables=rope_tables, remat=remat,
-                                rng=rng)
+                                rng=rng, fused_ok=fused_ok)
 
     outs = cpfpn_forward(params["img_neck"], feats, cfg.neck)
     f = outs[cfg.position_level]

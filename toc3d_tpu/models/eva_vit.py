@@ -142,8 +142,13 @@ def _pe_bwd(patch_size, res, g):
 _patch_embed_fused.defvjp(_pe_fwd, _pe_bwd)
 
 
-def patch_embed(p, x, patch_size: int):
+def patch_embed(p, x, patch_size: int, fused_ok: bool = True):
     """x: (B, H, W, 3) -> (B, H/ps, W/ps, C).
+
+    fused_ok: False inside the train program — the kernel's custom call
+    kernel-faults the axon TPU worker when compiled into the single
+    differentiated train program (see block_forward); the conv path is
+    used there instead.
 
     Off-CPU this runs the Pallas patchify-as-matmul kernel
     (ops/pallas/patch_embed.py): XLA's conv fusion for a 3-channel 16x16
@@ -158,7 +163,7 @@ def patch_embed(p, x, patch_size: int):
         f"image size {x.shape[1:3]} must be a multiple of patch_size="
         f"{patch_size}; pad inputs (PadMultiViewImage pads to /32)")
     from ..ops.pallas import patch_embed as _pe
-    if ("b" in p and x.shape[-1] == 3
+    if (fused_ok and "b" in p and x.shape[-1] == 3
             and (jax.default_backend() != "cpu" or _pe.FORCE_FUSED_ON_CPU)):
         return _patch_embed_fused(p, x, patch_size)
     return _patch_embed_conv(p, x, patch_size)
@@ -221,13 +226,18 @@ def drop_path(rng, x, rate: float):
 
 
 def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables,
-                  dp_rate: float = 0.0, rng=None):
+                  dp_rate: float = 0.0, rng=None, fused_ok: bool = True):
     """Plain (non-compressed) EVA block. x: (B, H, W, C).
 
     dp_rate/rng: train-time stochastic depth (Block.forward drop_path,
     eva_vit.py:262-263; the reference skips drop_path in the accelerated
-    slow path, toc3d_eva_vit.py:366-386, and so do we)."""
-    if cfg.fused_blocks and jax.default_backend() != "cpu":
+    slow path, toc3d_eva_vit.py:366-386, and so do we).
+    fused_ok: the train step passes False — Pallas custom calls inside the
+    single differentiated train program kernel-fault the axon TPU worker
+    (same XLA:TPU bug class as the documented bf16-backbone + fp32-head
+    inference fault that forces detector.make_infer_fn's two-program
+    split); training uses the XLA path, inference keeps the kernels."""
+    if cfg.fused_blocks and fused_ok and jax.default_backend() != "cpu":
         if rng is None:
             from ..ops.pallas.vit_block import fused_full_block
             return fused_full_block(p, x, cfg.num_heads, window_size,
@@ -275,18 +285,20 @@ def drop_path_rates(cfg: EVAViTConfig):
 
 
 def eva_vit_forward(params, x, cfg: EVAViTConfig, rope_tables=None,
-                    remat: bool = False, rng=None):
+                    remat: bool = False, rng=None, fused_ok: bool = True):
     """x: (B, H, W, 3) images (normalized) -> (B, h, w, C) features.
 
     rope_tables: optional precomputed (win, glb) pair from make_rope_tables.
     rng: enables train-time stochastic depth (drop_path_rate ramp).
+    fused_ok: False inside the train program (see block_forward).
     """
     if rope_tables is None:
         rope_tables = make_rope_tables(cfg)
     rope_win, rope_glb = rope_tables
     dprs = drop_path_rates(cfg)
 
-    x = patch_embed(params["patch_embed"], x, cfg.patch_size)
+    x = patch_embed(params["patch_embed"], x, cfg.patch_size,
+                    fused_ok=fused_ok)
     if cfg.use_abs_pos:
         x = x + resize_abs_pos(params["pos_embed"], cfg.pretrain_use_cls_token,
                                (x.shape[1], x.shape[2])).astype(x.dtype)
@@ -298,6 +310,7 @@ def eva_vit_forward(params, x, cfg: EVAViTConfig, rope_tables=None,
         brng = None if rng is None else jax.random.fold_in(rng, i)
         fwd = block_forward
         if remat:
-            fwd = jax.checkpoint(block_forward, static_argnums=(2, 3, 5))
-        x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng)
+            fwd = jax.checkpoint(block_forward, static_argnums=(2, 3, 5, 7))
+        x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng,
+                fused_ok)
     return x

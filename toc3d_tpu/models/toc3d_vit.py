@@ -167,13 +167,17 @@ def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
 
 def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                       prev_exists, rope_tables=None, rng=None,
-                      remat: bool = False, mask_rng=None):
+                      remat: bool = False, mask_rng=None,
+                      fused_ok: bool = True):
     """x: (BN, H, W, 3); motion_ctx: dict of memory-bank views (B-leading,
     see token_select.selector_score); prev_exists: (B,) float.
 
     mask_rng: eval-only PRNG for cfg.eval_mask='gumbel' (reference strict
     parity — the reference's eval token mask is gumbel-stochastic,
     toc3d_utils.py:146-147). Ignored when rng (training) is given.
+    fused_ok: the train step passes False — Pallas custom calls inside the
+    single differentiated train program kernel-fault the axon TPU worker
+    (see eva_vit.block_forward); training takes the XLA path.
 
     Returns (features (BN, h, w, C), aux dict with token_masks / scores /
     keep_idx / drop_idx lists — one entry per pruning layer).
@@ -182,7 +186,8 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
         rope_tables = make_rope_tables(cfg)
     rope_win, rope_glb = rope_tables
 
-    x = patch_embed(params["patch_embed"], x, cfg.patch_size)
+    x = patch_embed(params["patch_embed"], x, cfg.patch_size,
+                    fused_ok=fused_ok)
     if cfg.use_abs_pos:
         x = x + resize_abs_pos(params["pos_embed"], cfg.pretrain_use_cls_token,
                                (x.shape[1], x.shape[2])).astype(x.dtype)
@@ -233,7 +238,8 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
         # custom-VJP wrapper keeps the kernel forward and re-derives exact
         # gradients through the XLA path (the compressed block has no
         # droppath, so semantics are identical)
-        fused = cfg.fused_blocks and jax.default_backend() != "cpu"
+        fused = (cfg.fused_blocks and fused_ok
+                 and jax.default_backend() != "cpu")
         if cfg.block_is_accelerated(i):
             if fused and rng is None and not remat:
                 from ..ops.pallas.vit_block import fused_compressed_block
@@ -270,7 +276,9 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
             brng = None if rng is None else jax.random.fold_in(rng, 1000 + i)
             fwd = block_forward
             if remat:
-                fwd = jax.checkpoint(block_forward, static_argnums=(2, 3, 5))
-            x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng)
+                fwd = jax.checkpoint(block_forward,
+                                     static_argnums=(2, 3, 5, 7))
+            x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng,
+                    fused_ok)
 
     return x, aux

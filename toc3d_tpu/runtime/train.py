@@ -97,7 +97,16 @@ def make_optimizer(params, base_lr=1e-4, weight_decay=0.01, clip_norm=35.0,
             lambda updates, state, params=None: (
                 jax.tree_util.tree_map(lambda u, m: u * m, updates, mults),
                 state)))
-    return optax.chain(*chain)
+    # Skip steps whose gradients are non-finite instead of poisoning the
+    # params — the reference's Fp16OptimizerHook does exactly this (mmcv
+    # dynamic loss scaling skips the optimizer step on inf/nan grads,
+    # ToC3D_fast.py:263). bf16 needs no loss scaling, but rare
+    # fusion-sensitive inf intermediates in the bf16 backward (observed
+    # with random-init weights, grad norms ~1600) can still produce a
+    # non-finite step; 50 consecutive bad steps raise, surfacing any real
+    # divergence instead of hiding it.
+    return optax.apply_if_finite(optax.chain(*chain),
+                                 max_consecutive_errors=50)
 
 
 def init_train_state(params, tx, batch_size: int,
@@ -129,8 +138,14 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
     if cfg.use_grid_mask:
         img = grid_mask(k_mask, img)
 
+    # fused_ok=False: Pallas custom calls compiled into this single
+    # differentiated program kernel-fault the axon TPU worker (both the
+    # block megakernels and the patchify kernel; bisected 2026-08-17 —
+    # same XLA:TPU bug class as the inference bf16/fp32 one-program fault
+    # behind make_infer_fn's two-program split). The XLA paths are the
+    # exact-gradient reference the custom VJPs re-derive through anyway.
     feats, aux = extract_img_feat(params, cfg, img, memory, batch,
-                                  rng=k_sel, remat=remat)
+                                  rng=k_sel, remat=remat, fused_ok=False)
     if not backbone_grad:
         # reference runs history-frame backbones under torch.no_grad
         # (petr3d.py:262-308, num_frame_backbone_grads): head/neck-side
@@ -249,6 +264,11 @@ def make_train_step(cfg: DetectorConfig, tx):
         metrics = dict(losses)
         metrics["total_loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
+        if hasattr(opt_state, "total_notfinite"):
+            # optax.apply_if_finite wrapper (see make_optimizer): running
+            # count of skipped non-finite steps, mirroring the reference
+            # Fp16OptimizerHook's skip-on-overflow telemetry
+            metrics["nonfinite_skips"] = opt_state.total_notfinite
         return TrainState(params, opt_state, new_memory,
                           state.step + 1), metrics
 
