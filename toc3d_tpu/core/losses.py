@@ -29,14 +29,25 @@ def weight_reduce_sum(loss, weight, avg_factor):
 # classification
 # ---------------------------------------------------------------------------
 
+def _safe_pow(x, p):
+    """x ** p without the exp(p*log(x)) lowering for integral p: XLA:TPU's
+    bf16 float-pow produces NaN at the 0/1 endpoints (observed: 2.8% of
+    gaussian-focal elements NaN on TPU for masks saturated to exactly 0/1
+    in bf16, while the identical CPU computation is finite)."""
+    return (jax.lax.integer_pow(x, int(p)) if float(p).is_integer()
+            else x ** p)
+
+
 def sigmoid_focal_loss(pred, target_onehot, weight, avg_factor,
                        gamma=2.0, alpha=0.25, loss_weight=2.0):
     """pred: (..., C) logits; target_onehot: (..., C) in {0,1};
-    weight: (...,) per-anchor."""
+    weight: (...,) per-anchor. Computed in f32 regardless of input dtype —
+    the reference runs all losses under mmcv force_fp32."""
+    pred = pred.astype(jnp.float32)
     p = jax.nn.sigmoid(pred)
     t = target_onehot.astype(p.dtype)
     pt = (1 - p) * t + p * (1 - t)
-    focal_weight = (alpha * t + (1 - alpha) * (1 - t)) * pt ** gamma
+    focal_weight = (alpha * t + (1 - alpha) * (1 - t)) * _safe_pow(pt, gamma)
     bce = _bce_with_logits(pred, t)
     loss = bce * focal_weight
     return loss_weight * weight_reduce_sum(loss, weight[..., None], avg_factor)
@@ -55,26 +66,32 @@ def quality_focal_loss(pred, labels, quality, weight, avg_factor,
     pred: (N, C) logits; labels: (N,) int (num_classes = bg);
     quality: (N,) IoU score for positives.
     """
+    pred = pred.astype(jnp.float32)
     p = jax.nn.sigmoid(pred)
     # negatives: target 0, weight p^beta
-    loss = _bce_with_logits(pred, jnp.zeros_like(pred)) * p ** beta
+    loss = _bce_with_logits(pred, jnp.zeros_like(pred)) * _safe_pow(p, beta)
     pos = labels < num_classes
     lab = jnp.where(pos, labels, 0)
     onehot = jax.nn.one_hot(lab, num_classes, dtype=pred.dtype)
     q = quality[..., None].astype(pred.dtype)
     pos_loss = (_bce_with_logits(pred, q * onehot)
-                * jnp.abs(q * onehot - p) ** beta)
+                * _safe_pow(jnp.abs(q * onehot - p), beta))
     loss = jnp.where(pos[..., None] & (onehot > 0), pos_loss, loss)
     return loss_weight * weight_reduce_sum(loss, weight[..., None], avg_factor)
 
 
 def gaussian_focal_loss(pred, target, weight, avg_factor=None,
                         alpha=2.0, gamma=4.0, loss_weight=1.0, eps=1e-12):
-    """mmdet GaussianFocalLoss: pred in (0,1), gaussian-heatmap target."""
+    """mmdet GaussianFocalLoss: pred in (0,1), gaussian-heatmap target.
+    f32 + integer powers (see _safe_pow): bf16 preds saturate to exactly
+    0/1 and TPU's float-pow lowering NaNs at those endpoints."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     pos_w = (target == 1).astype(pred.dtype)
-    neg_w = (1 - target) ** gamma
-    loss = (-jnp.log(pred + eps) * (1 - pred) ** alpha * pos_w
-            - jnp.log(1 - pred + eps) * pred ** alpha * neg_w * (1 - pos_w))
+    neg_w = _safe_pow(1 - target, gamma)
+    loss = (-jnp.log(pred + eps) * _safe_pow(1 - pred, alpha) * pos_w
+            - jnp.log(1 - pred + eps) * _safe_pow(pred, alpha) * neg_w
+            * (1 - pos_w))
     if avg_factor is None:
         # 'mean' reduction over weighted elements (mmdet default)
         return loss_weight * jnp.sum(loss * weight) / jnp.maximum(
