@@ -10,11 +10,36 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import argparse
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-A100_BASELINE_FPS = 1000.0 / 878.5
+# A100 whole-pipeline latency (ms) per config, BASELINE.md / paper Table 2.
+A100_PIPELINE_MS = {
+    "stream_petr_eva_vit_l": 317.0,
+    "ToC3D_fast": 281.0,
+    "ToC3D_faster": 237.2,
+    "stream_petr_eva_vit_l_1600": 1309.9,
+    "ToC3D_fast_1600": 1051.9,
+    "ToC3D_faster_1600": 878.5,
+    "stream_petr_vit_b": 115.0,
+    "ToC3D_vit_b_fast": 94.0,
+    "ToC3D_vit_b_faster": 85.0,
+}
+A100_BASELINE_FPS = 1000.0 / A100_PIPELINE_MS["ToC3D_faster_1600"]
+
+# the paper's compression-payoff table (VERDICT r2 #2): baseline vs fast
+# vs faster per backbone/resolution family
+SWEEP_FAMILIES = [
+    ("ViT-L 800x320", ["stream_petr_eva_vit_l", "ToC3D_fast",
+                       "ToC3D_faster"]),
+    ("ViT-L 1600x800", ["stream_petr_eva_vit_l_1600", "ToC3D_fast_1600",
+                        "ToC3D_faster_1600"]),
+    ("ViT-B 800x320", ["stream_petr_vit_b", "ToC3D_vit_b_fast",
+                       "ToC3D_vit_b_faster"]),
+]
 
 
 def make_frame(rng, b, n, h, w, prev_exists):
@@ -90,6 +115,66 @@ def bench_train(cfg, args):
     }))
 
 
+def run_sweep(args):
+    """Bench every family (baseline/fast/faster) in subprocesses (fresh
+    HBM + compile cache per config) and write PERF.md mirroring the
+    paper's Table 2: absolute fps + relative speedup vs the family
+    baseline, beside the reference's A100 column."""
+    results = {}
+    for _, names in SWEEP_FAMILIES:
+        for name in names:
+            cmd = [sys.executable, __file__, "--config", name,
+                   "--warmup", str(args.warmup), "--frames", str(args.frames)]
+            print(f"# bench {name} ...", file=sys.stderr, flush=True)
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            line = [l for l in r.stdout.splitlines()
+                    if l.startswith("{")][-1:]
+            if not line:
+                print(f"# {name} FAILED:\n{r.stderr[-2000:]}",
+                      file=sys.stderr)
+                continue
+            rec = json.loads(line[0])
+            results[name] = rec
+            print(line[0], flush=True)
+
+    lines = [
+        "# PERF — TPU v5e (1 chip) vs A100, reference protocol",
+        "",
+        "Whole-pipeline streaming inference, batch 1, 6 views, synthetic",
+        f"frames, {args.warmup}-frame warmup then {args.frames} timed "
+        "(README.md:113-123 protocol). A100 numbers: BASELINE.md (paper "
+        "Table 2). Speedup% is relative to the family baseline — the "
+        "paper's headline claim for token compression.",
+        "",
+        "| Model | A100 ms (speedup%) | TPU fps | TPU ms (speedup%) | "
+        "TPU/A100 |",
+        "|---|---|---|---|---|",
+    ]
+    for fam, names in SWEEP_FAMILIES:
+        base_name = names[0]
+        base = results.get(base_name)
+        base_ms = 1000.0 / base["value"] if base else None
+        for name in names:
+            rec = results.get(name)
+            a100 = A100_PIPELINE_MS[name]
+            a100_base = A100_PIPELINE_MS[base_name]
+            a100_pct = "" if name == base_name else \
+                f" ({100 * (a100 / a100_base - 1):+.1f}%)"
+            if rec is None:
+                lines.append(f"| {name} | {a100:.1f}{a100_pct} | FAILED |  |  |")
+                continue
+            ms = 1000.0 / rec["value"]
+            pct = "" if name == base_name or not base_ms else \
+                f" ({100 * (ms / base_ms - 1):+.1f}%)"
+            lines.append(
+                f"| {name} | {a100:.1f}{a100_pct} | {rec['value']:.2f} | "
+                f"{ms:.1f}{pct} | {rec['value'] / (1000.0 / a100):.2f}x |")
+    with open("PERF.md", "w") as f:
+        f.write("\n".join(lines).rstrip() + "\n")
+    print(json.dumps({"metric": "sweep", "value": len(results),
+                      "unit": "configs", "vs_baseline": None}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ToC3D_faster_1600")
@@ -101,7 +186,13 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark one full train step (bf16+remat, DN + "
                          "Hungarian losses) instead of inference")
+    ap.add_argument("--sweep", action="store_true",
+                    help="bench every baseline/fast/faster family and "
+                         "write PERF.md (compression-payoff table)")
     args = ap.parse_args()
+
+    if args.sweep:
+        return run_sweep(args)
 
     import jax
     from toc3d_tpu.configs import get_config
@@ -146,11 +237,13 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = args.frames * b / dt
+    ref_fps = 1000.0 / A100_PIPELINE_MS.get(args.config,
+                                            A100_PIPELINE_MS["ToC3D_faster_1600"])
     print(json.dumps({
         "metric": f"{args.config} 6-view frames/sec/chip",
         "value": round(fps, 4),
         "unit": "frames/s",
-        "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+        "vs_baseline": round(fps / ref_fps, 4),
     }))
 
 

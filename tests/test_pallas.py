@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from toc3d_tpu.ops.attention import eva_attention, init_eva_attention
-from toc3d_tpu.ops.pallas.window_attn import (fused_window_attention_nc,
+from toc3d_tpu.ops.pallas.legacy_window_attn import (fused_window_attention_nc,
                                               tile_rope_tables)
 from toc3d_tpu.ops.rope import build_rope_table
 
@@ -179,3 +179,44 @@ def test_trainable_fused_blocks_grad_matches_xla():
                          loss_xla, argnums=(0, 1))(p, x))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_blocks_sanitize_path_matches_xla():
+    """ws%8==0 with h/w NOT multiples of ws takes the image-layout block
+    path with in-kernel zero-padding (sanitize_hw) — the production
+    1600x800 regime (50x100 grid at ws=16). The kernels rely on Pallas
+    OOB-read-then-mask / OOB-store-drop semantics there; pin interpret-mode
+    parity for both the full and the compressed kernel (ADVICE r2)."""
+    from toc3d_tpu.ops.pallas.vit_block import (fused_full_block,
+                                                fused_compressed_block)
+    from toc3d_tpu.models.eva_vit import block_forward, EVAViTConfig
+    from toc3d_tpu.models.toc3d_vit import (toc3d_block_forward,
+                                            ToC3DViTConfig)
+
+    rng = np.random.RandomState(7)
+    b, h, w, c, heads, ws = 2, 10, 12, 32, 2, 8
+    assert ws % 8 == 0 and h % ws and w % ws
+    cfg = EVAViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                       window_size=ws)
+    p = _block_params(jax.random.PRNGKey(5), c, 64)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    tables = build_rope_table(c // heads // 2, ws, ws)
+
+    for t in (tables, None):
+        ref = block_forward(p, x, cfg, ws, t)
+        out = fused_full_block(p, x, heads, ws, t, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
+    for use_rep in (True, False):
+        tcfg = ToC3DViTConfig(
+            embed_dim=c, num_heads=heads, mlp_ratio=2.0, window_size=ws,
+            pruning_loc=(0,), token_ratio=(0.5,), global_attn_indexes=(9,),
+            use_represent_tokens=use_rep, rope_acc=True)
+        ref = toc3d_block_forward(p, x, scores, tcfg, ws, 0.5, tables)
+        out = fused_compressed_block(p, x, scores, heads, ws, 0.5, tables,
+                                     use_represent=use_rep, rope_acc=True,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

@@ -79,3 +79,60 @@ def test_lr_schedule_shape():
     assert abs(float(s(500)) - 1e-4) < 1e-9
     assert float(s(10_000)) < 1.1e-7 * 1.1  # ~ min_lr_ratio * base
     assert float(s(250)) > float(s(0))
+
+
+def test_optimizer_backbone_labels_cover_every_leaf():
+    """Every img_backbone leaf must carry the 'backbone' (x0.1 LR) label and
+    every other leaf 'rest' — a path-name typo in _is_backbone would
+    silently train the backbone at full LR (ToC3D_fast.py:253-260)."""
+    from toc3d_tpu.runtime.train import param_labels
+    cfg = get_config("tiny")
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    labels = param_labels(params)
+    flat, _ = jax.tree_util.tree_flatten_with_path(labels)
+    assert flat, "no leaves"
+    n_bb = 0
+    for path, label in flat:
+        top = getattr(path[0], "key", getattr(path[0], "name", None))
+        want = "backbone" if top == "img_backbone" else "rest"
+        assert label == want, (jax.tree_util.keystr(path), label)
+        n_bb += label == "backbone"
+    assert n_bb > 0 and n_bb < len(flat)
+
+
+def test_optimizer_backbone_lr_mult_behavioral():
+    """AdamW's first-step update magnitude ~= lr per element, so the
+    backbone/rest update ratio must be ~backbone_lr_mult."""
+    from toc3d_tpu.runtime.train import make_optimizer
+    cfg = get_config("tiny")
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, base_lr=1e-4, backbone_lr_mult=0.1,
+                        warmup_iters=0, total_iters=100_000)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    u_bb = float(jnp.abs(
+        updates["img_backbone"]["blocks"][0]["attn"]["q_proj"]["w"]).mean())
+    u_head = float(jnp.abs(
+        updates["pts_bbox_head"]["reference_points"]).mean())
+    assert 0.05 < u_bb / u_head < 0.2, (u_bb, u_head)
+
+
+def test_layer_decay_mults_per_depth():
+    """Spot-check get_vit_lr_decay_rate multipliers through the exposed
+    layer_decay_mults tree (eva_vit.py:574-591)."""
+    from toc3d_tpu.runtime.train import layer_decay_mults
+    cfg = get_config("tiny")
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    rate = 0.9
+    mults = layer_decay_mults(params, rate)
+    depth = len(params["img_backbone"]["blocks"])
+    # patch_embed: layer_id 0 -> rate ** (depth + 1)
+    assert np.isclose(mults["img_backbone"]["patch_embed"]["w"],
+                      rate ** (depth + 1))
+    # block i attn weights: layer_id i+1 -> rate ** (depth - i)
+    for i in range(depth):
+        got = mults["img_backbone"]["blocks"][i]["attn"]["q_proj"]["w"]
+        assert np.isclose(got, rate ** (depth - i)), i
+    # non-backbone leaves: no decay
+    assert mults["pts_bbox_head"]["reference_points"] == 1.0

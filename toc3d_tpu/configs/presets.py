@@ -142,6 +142,13 @@ def toc3d_ratio_sweep(r1: int, r2: int, r3: int, res1600=False,
     return _detector(_toc3d_backbone(ratios), pad, **kw)
 
 
+def stream_petr_vit_b(**kw) -> DetectorConfig:
+    """StreamPETR ViT-B baseline, 800x320, no pruning (paper Table 2 ViT-B
+    rows — no reference config shipped; 85.2/115.0 ms A100)."""
+    return _detector(EVAViTConfig(**_vit_b_kwargs()), (320, 800),
+                     vit_b=True, **kw)
+
+
 def toc3d_vit_b_fast(**kw) -> DetectorConfig:
     return _detector(_toc3d_backbone((0.7, 0.5, 0.5), _vit_b_kwargs()),
                      (320, 800), vit_b=True, **kw)
@@ -181,6 +188,7 @@ PRESETS = {
     "ToC3D_faster": toc3d_faster,
     "ToC3D_fast_1600": toc3d_fast_1600,
     "ToC3D_faster_1600": toc3d_faster_1600,
+    "stream_petr_vit_b": stream_petr_vit_b,
     "ToC3D_vit_b_fast": toc3d_vit_b_fast,
     "ToC3D_vit_b_faster": toc3d_vit_b_faster,
     "tiny": tiny_test_config,

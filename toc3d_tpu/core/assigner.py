@@ -56,10 +56,31 @@ def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
 
 
 DEFAULT_IMPL = None  # resolved lazily: scipy callback on CPU, auction on TPU
+_IMPL_OVERRIDE = None
+
+
+def set_default_impl(impl):
+    """Force the matcher implementation ('callback' | 'auction' | None).
+
+    SPMD entry points (tools/train.py --distributed, __graft_entry__.
+    dryrun_multichip) force 'auction': under a multi-device mesh the host
+    callback gathers the whole (B, Q, G) cost tensor onto device 0 and
+    broadcasts the result back (XLA logs 'Involuntary full
+    rematerialization'), serializing every step — the exact scaling cliff
+    the device auction avoids. The reference's scipy matching is per-rank
+    local under DDP (hungarian_assigner_3d.py:72-82); auction-under-mesh is
+    our shard-local equivalent (per-sample, no cross-device traffic) and is
+    empirically exact at Q=900, G<=96 (tests/test_auction_scale.py).
+    """
+    global _IMPL_OVERRIDE
+    assert impl in (None, "callback", "auction")
+    _IMPL_OVERRIDE = impl
 
 
 def resolve_impl() -> str:
     global DEFAULT_IMPL
+    if _IMPL_OVERRIDE is not None:
+        return _IMPL_OVERRIDE
     if DEFAULT_IMPL is None:
         DEFAULT_IMPL = ("callback" if jax.default_backend() == "cpu"
                         else "auction")

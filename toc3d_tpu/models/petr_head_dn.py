@@ -39,7 +39,7 @@ def init_petr_head_dn(key, cfg: StreamPETRHeadConfig):
 
 def petr_head_dn_forward(params, cfg: StreamPETRHeadConfig, feats, data,
                          topk_indexes=None, dn=None, rng=None,
-                         remat: bool = False):
+                         remat: bool = False, fused_ok: bool = True):
     """One frame (petr_head_dn.py:437-512). feats: (B, N, h, w, C)."""
     b, n, h, w, c = feats.shape
     memory = feats.reshape(b, n * h * w, c)
@@ -71,7 +71,7 @@ def petr_head_dn_forward(params, cfg: StreamPETRHeadConfig, feats, data,
 
     outs_dec, _ = decoder_forward(params["decoder"], cfg.decoder, tgt,
                                   memory, query_pos, pos_embed, attn_mask,
-                                  rng=rng, remat=remat)
+                                  rng=rng, remat=remat, fused_ok=fused_ok)
     outs_dec = jnp.nan_to_num(outs_dec)
 
     ref_inv = inverse_sigmoid(jnp.clip(reference_points, 0.0, 1.0))

@@ -89,7 +89,8 @@ def init_decoder(key, cfg: DecoderConfig):
 
 def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
                           key_pos, temp_memory, temp_pos, self_attn_mask,
-                          rng=None, need_weights: bool = False):
+                          rng=None, need_weights: bool = False,
+                          fused_ok: bool = True):
     """One PETRTemporalDecoderLayer (petr_transformer.py:653-760).
 
     query: (B, Q, C); key/value: (B, K, C) image tokens; temp_memory /
@@ -98,6 +99,10 @@ def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
     need_weights: materializing the head-mean attention map forces the f32
     softmax tensor out to HBM and blocks XLA's fused-attention pattern —
     only request it when the caller collects attention (token vis).
+    fused_ok: the train step threads False — a Pallas custom call compiled
+    into the differentiated train program kernel-faults the axon TPU worker
+    even when cfg.fused_attn is on and dropout is 0 (see
+    runtime/train.compute_losses).
     """
     r = (lambda i: None if rng is None else jax.random.fold_in(rng, i))
 
@@ -110,7 +115,7 @@ def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
     out, _ = mha(p["self_attn"], query + query_pos, tk + tp, tk,
                  cfg.num_heads, attn_mask=self_attn_mask,
                  dropout_rate=cfg.dropout, dropout_rng=r(3),
-                 fused=cfg.fused_attn)
+                 fused=cfg.fused_attn and fused_ok)
     query = query + _dropout(out, r(0), cfg.dropout, 0)
     query = layer_norm(p["norm0"], query, eps=LN_EPS)
 
@@ -118,7 +123,7 @@ def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
     out, attn_w = mha(p["cross_attn"], query + query_pos, key + key_pos, value,
                       cfg.num_heads, return_weights=need_weights,
                       dropout_rate=cfg.dropout, dropout_rng=r(4),
-                      fused=cfg.fused_attn)
+                      fused=cfg.fused_attn and fused_ok)
     query = query + _dropout(out, r(1), cfg.dropout, 1)
     query = layer_norm(p["norm1"], query, eps=LN_EPS)
 
@@ -155,7 +160,7 @@ def encoder_forward(p, cfg: DecoderConfig, x, pos, rng=None):
 
 def decoder_forward(p, cfg: DecoderConfig, tgt, memory, query_pos, pos_embed,
                     attn_mask, temp_memory=None, temp_pos=None, rng=None,
-                    remat=False, collect_attn=False):
+                    remat=False, collect_attn=False, fused_ok=True):
     """Full decoder stack, returns per-layer post-normed outputs.
 
     tgt: (B, Q, C); memory: (B, K, C) image tokens; pos_embed: (B, K, C).
@@ -168,10 +173,10 @@ def decoder_forward(p, cfg: DecoderConfig, tgt, memory, query_pos, pos_embed,
         fwd = decoder_layer_forward
         if remat:
             fwd = jax.checkpoint(decoder_layer_forward,
-                                 static_argnums=(1, 11))
+                                 static_argnums=(1, 11, 12))
         query, attn_w = fwd(lp, cfg, query, memory, memory, query_pos,
                             pos_embed, temp_memory, temp_pos, attn_mask,
-                            lrng, collect_attn)
+                            lrng, collect_attn, fused_ok)
         outs.append(layer_norm(p["post_norm"], query, eps=LN_EPS))
         if collect_attn:
             attns.append(attn_w)

@@ -402,7 +402,7 @@ def temporal_alignment(params, cfg: StreamPETRHeadConfig, bank: MemoryBank,
 
 def head_forward(params, cfg: StreamPETRHeadConfig, feats, data,
                  bank: MemoryBank, topk_indexes=None, dn=None, rng=None,
-                 remat: bool = False):
+                 remat: bool = False, fused_ok: bool = True):
     """One frame of the StreamPETR head (streampetr_head.py:604-680).
 
     feats: (B, N, h, w, C) neck features (channel-last).
@@ -464,7 +464,8 @@ def head_forward(params, cfg: StreamPETRHeadConfig, feats, data,
 
     outs_dec, _ = decoder_forward(
         params["decoder"], cfg.decoder, tgt, memory, query_pos, pos_embed,
-        attn_mask, temp_memory, temp_pos, rng=rng, remat=remat)
+        attn_mask, temp_memory, temp_pos, rng=rng, remat=remat,
+        fused_ok=fused_ok)
     outs_dec = jnp.nan_to_num(outs_dec.astype(jnp.float32))
 
     # shared cls/reg branches, iterative sigmoid refinement around the fixed

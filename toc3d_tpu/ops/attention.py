@@ -50,7 +50,8 @@ def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None,
 
     select_idx: (B, N) flat positions for RoPE-with-selection; None applies
     RoPE at raster positions 0..N-1. use_pallas routes the QK/softmax/AV
-    core through the fused TPU kernel (ops/pallas/window_attn.py).
+    core through the LEGACY fused kernel (ops/pallas/legacy_window_attn.py)
+    — superseded by the vit_block.py megakernels, kept for reference.
     """
     reorganize = x.ndim == 4
     if reorganize:
@@ -60,8 +61,9 @@ def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None,
 
     if use_pallas:
         # fused path: keep (B, N, C) layout; rope applied inside the kernel
-        from .pallas.window_attn import (fused_window_attention_nc,
-                                         tile_rope_tables, pad_tokens_to)
+        from .pallas.legacy_window_attn import (fused_window_attention_nc,
+                                                tile_rope_tables,
+                                                pad_tokens_to)
         q = linear(p["q_proj"], x)
         k = linear(p["k_proj"], x)
         v = linear(p["v_proj"], x)

@@ -1,4 +1,9 @@
-"""Fused window-attention Pallas kernel for TPU.
+"""LEGACY fused window-attention Pallas kernel for TPU — superseded.
+
+The blessed kernel family for the ViT backbone is the per-block megakernel
+in ops/pallas/vit_block.py (LN/QKV/RoPE/attn/proj/SwiGLU fused, default-ON
+in the presets). This per-attention kernel is kept only as a reference
+implementation behind EVAViTConfig.use_pallas_attention (default False).
 
 Design notes:
   * Inputs are (B, N, H, D) — a FREE bitcast view of the (B, N, C) QKV

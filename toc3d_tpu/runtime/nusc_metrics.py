@@ -78,17 +78,46 @@ def _filter_by_range(boxes: List[Dict], class_range=CLASS_RANGE):
     return out
 
 
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """devkit utils.cummean: NaN entries excluded from the running mean
+    (0 where no non-NaN seen yet; all ones when everything is NaN)."""
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    sum_vals = np.nancumsum(x.astype(np.float64))
+    count_vals = np.cumsum(~np.isnan(x))
+    return np.divide(sum_vals, count_vals, out=np.zeros_like(sum_vals),
+                     where=count_vals != 0)
+
+
+def _no_predictions(npos: int) -> Dict:
+    return {"precision": np.zeros(N_INTERP),
+            "recall": np.linspace(0, 1, N_INTERP),
+            "confidence": np.zeros(N_INTERP),
+            **{k: np.ones(N_INTERP) for k in TP_METRICS},
+            "max_recall_ind": 0, "npos": npos}
+
+
 def accumulate(gt_all: Dict[str, List[Dict]], pred_all: Dict[str, List[Dict]],
                class_name: str, dist_th: float):
-    """devkit algo.accumulate: greedy score-ordered center-distance match."""
+    """devkit algo.accumulate: greedy score-ordered center-distance match.
+
+    Devkit-exact details pinned by tests/test_metrics_agreement.py:
+    score ties order by HIGHER flat index first (the devkit sorts
+    (value, index) ascending then reverses); ZERO MATCHES (not zero
+    predictions) returns the no_predictions curve; attribute error is NaN
+    when the GT carries no attribute and the cummean is NaN-aware;
+    max_recall_ind is the last index with nonzero interpolated confidence.
+    """
     npos = sum(1 for boxes in gt_all.values()
                for b in boxes if b["detection_name"] == class_name)
-    preds = [(tok, b) for tok, boxes in pred_all.items() for b in boxes
-             if b["detection_name"] == class_name]
-    preds.sort(key=lambda x: -x[1]["detection_score"])
-
     if npos == 0:
         return None
+
+    preds = [(tok, b) for tok, boxes in pred_all.items() for b in boxes
+             if b["detection_name"] == class_name]
+    order = sorted(range(len(preds)),
+                   key=lambda i: (preds[i][1]["detection_score"], i))[::-1]
+    preds = [preds[i] for i in order]
 
     gt_index = {tok: [b for b in boxes if b["detection_name"] == class_name]
                 for tok, boxes in gt_all.items()}
@@ -96,6 +125,7 @@ def accumulate(gt_all: Dict[str, List[Dict]], pred_all: Dict[str, List[Dict]],
 
     tp, fp, conf = [], [], []
     match_data = {k: [] for k in TP_METRICS}
+    match_conf = []
     for tok, pred in preds:
         gts = gt_index.get(tok, [])
         best, best_dist = None, float("inf")
@@ -123,19 +153,17 @@ def accumulate(gt_all: Dict[str, List[Dict]], pred_all: Dict[str, List[Dict]],
             match_data["vel_err"].append(
                 math.hypot(pred["velocity"][0] - gt["velocity"][0],
                            pred["velocity"][1] - gt["velocity"][1]))
+            gt_attr = gt.get("attribute_name", "")
             match_data["attr_err"].append(
-                1.0 - float(pred.get("attribute_name", "")
-                            == gt.get("attribute_name", "")))
+                np.nan if gt_attr == ""
+                else 1.0 - float(pred.get("attribute_name", "") == gt_attr))
+            match_conf.append(pred["detection_score"])
         else:
             tp.append(0)
             fp.append(1)
 
-    if len(tp) == 0:
-        return {"precision": np.zeros(N_INTERP),
-                "recall": np.linspace(0, 1, N_INTERP),
-                "confidence": np.zeros(N_INTERP),
-                **{k: np.ones(N_INTERP) for k in TP_METRICS},
-                "max_recall_ind": 0, "npos": npos}
+    if len(match_conf) == 0:
+        return _no_predictions(npos)
 
     tp = np.cumsum(tp).astype(np.float64)
     fp = np.cumsum(fp).astype(np.float64)
@@ -146,22 +174,16 @@ def accumulate(gt_all: Dict[str, List[Dict]], pred_all: Dict[str, List[Dict]],
     rec_interp = np.linspace(0, 1, N_INTERP)
     precision = np.interp(rec_interp, rec, prec, right=0)
     confidence = np.interp(rec_interp, rec, conf, right=0)
+    nonzero = np.nonzero(confidence)[0]
     out = {"precision": precision, "recall": rec_interp,
            "confidence": confidence, "npos": npos,
-           "max_recall_ind": int(round(rec[-1] * (N_INTERP - 1)))}
+           "max_recall_ind": int(nonzero[-1]) if len(nonzero) else 0}
 
+    match_conf = np.asarray(match_conf, np.float64)
     for key in TP_METRICS:
-        if len(match_data[key]) == 0:
-            out[key] = np.ones(N_INTERP)
-            continue
-        # cummean over matches, as fn of confidence (devkit)
-        arr = np.asarray(match_data[key], np.float64)
-        cummean = np.cumsum(arr) / np.arange(1, len(arr) + 1)
-        tp_conf = conf[np.asarray(
-            [i for i, t in enumerate(np.diff(np.concatenate([[0], tp])) > 0)
-             if t])]
-        out[key] = np.interp(confidence[::-1], tp_conf[::-1],
-                             cummean[::-1])[::-1]
+        cm = _cummean(np.asarray(match_data[key], np.float64))
+        out[key] = np.interp(confidence[::-1], match_conf[::-1],
+                             cm[::-1])[::-1]
     return out
 
 

@@ -57,6 +57,32 @@ def _is_backbone(path) -> bool:
                or getattr(p, "name", None) == "img_backbone" for p in path)
 
 
+def param_labels(params):
+    """'backbone' / 'rest' LR-group label per leaf (paramwise custom_keys
+    img_backbone lr_mult 0.1, ToC3D_fast.py:256). Exposed for tests: a typo
+    in _is_backbone would silently train the backbone at full LR."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "backbone" if _is_backbone(path) else "rest", params)
+
+
+def layer_decay_mults(params, layer_decay):
+    """Per-leaf layer-wise LR decay multipliers (get_vit_lr_decay_rate,
+    eva_vit.py:574-591), keyed on the flattened path string."""
+    from ..models.eva_vit import get_vit_lr_decay_rate
+    depth = len(params["img_backbone"]["blocks"])
+
+    def path_str(path):
+        parts = []
+        for p in path:
+            parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+        return "/".join(parts)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: get_vit_lr_decay_rate(path_str(path),
+                                              layer_decay, depth),
+        params)
+
+
 def make_optimizer(params, base_lr=1e-4, weight_decay=0.01, clip_norm=35.0,
                    backbone_lr_mult=0.1, total_iters=42_000,
                    warmup_iters=500, layer_decay=None):
@@ -69,8 +95,7 @@ def make_optimizer(params, base_lr=1e-4, weight_decay=0.01, clip_norm=35.0,
     sched = make_lr_schedule(base_lr, warmup_iters, total_iters=total_iters)
     sched_bb = make_lr_schedule(base_lr * backbone_lr_mult, warmup_iters,
                                 total_iters=total_iters)
-    labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: "backbone" if _is_backbone(path) else "rest", params)
+    labels = param_labels(params)
     chain = [
         optax.clip_by_global_norm(clip_norm),
         optax.multi_transform(
@@ -79,19 +104,7 @@ def make_optimizer(params, base_lr=1e-4, weight_decay=0.01, clip_norm=35.0,
             labels),
     ]
     if layer_decay is not None:
-        from ..models.eva_vit import get_vit_lr_decay_rate
-        depth = len(params["img_backbone"]["blocks"])
-
-        def path_str(path):
-            parts = []
-            for p in path:
-                parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
-            return "/".join(parts)
-
-        mults = jax.tree_util.tree_map_with_path(
-            lambda path, _: get_vit_lr_decay_rate(path_str(path),
-                                                  layer_decay, depth),
-            params)
+        mults = layer_decay_mults(params, layer_decay)
         chain.append(optax.GradientTransformation(
             lambda p: optax.EmptyState(),
             lambda updates, state, params=None: (
@@ -100,13 +113,15 @@ def make_optimizer(params, base_lr=1e-4, weight_decay=0.01, clip_norm=35.0,
     # Skip steps whose gradients are non-finite instead of poisoning the
     # params — the reference's Fp16OptimizerHook does exactly this (mmcv
     # dynamic loss scaling skips the optimizer step on inf/nan grads,
-    # ToC3D_fast.py:263). bf16 needs no loss scaling, but rare
-    # fusion-sensitive inf intermediates in the bf16 backward (observed
-    # with random-init weights, grad norms ~1600) can still produce a
-    # non-finite step; 50 consecutive bad steps raise, surfacing any real
-    # divergence instead of hiding it.
+    # ToC3D_fast.py:263, and it skips indefinitely). NOTE on
+    # max_consecutive_errors: optax does NOT raise at the threshold — it
+    # "gives up and ACCEPTS" the non-finite update, poisoning the params.
+    # So the threshold must be effectively infinite and divergence must be
+    # surfaced externally by monitoring metrics["nonfinite_skips"]
+    # (tools/train.py logs it every iteration; bench.py --train asserts
+    # it is 0).
     return optax.apply_if_finite(optax.chain(*chain),
-                                 max_consecutive_errors=50)
+                                 max_consecutive_errors=int(jnp.iinfo(jnp.int32).max))
 
 
 def init_train_state(params, tx, batch_size: int,
@@ -174,9 +189,13 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
     data = {k: batch[k] for k in ("intrinsics", "img2lidar", "timestamp",
                                   "ego_pose", "ego_pose_inv", "prev_exists")}
     data["pad_shape"] = cfg.pad_shape
+    # fused_ok=False here too: with dropout=0.0 the decoder's flash-attn
+    # gate would otherwise compile the Pallas custom call into the train
+    # program (the kernel-faulting configuration).
     outs, new_memory = head_forward(params["pts_bbox_head"], cfg.head, feats,
                                     data, memory, topk_indexes=topk_indexes,
-                                    dn=dn_for_head, rng=k_drop, remat=remat)
+                                    dn=dn_for_head, rng=k_drop, remat=remat,
+                                    fused_ok=False)
 
     if not with_losses:
         # history frame: memory update only (petr3d.py forward_pts_train

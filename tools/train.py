@@ -137,6 +137,11 @@ def main():
     nproc = jax.process_count()
     mesh = make_mesh(axis_names=("dcn", "data") if nproc > 1 else ("data",))
     n_dev = mesh.devices.size
+    if n_dev > 1:
+        # shard-local matching under SPMD: the host-LAP callback would
+        # serialize every step onto device 0 (see assigner.set_default_impl)
+        from toc3d_tpu.core.assigner import set_default_impl
+        set_default_impl("auction")
     global_batch = args.batch_size * n_dev
     print(f"processes={nproc} devices={n_dev} global_batch={global_batch}")
 
