@@ -96,3 +96,92 @@ def test_detection_metrics_agree(seed):
     for m in devkit.TP_METRICS:
         assert ours["tp_errors"][m] == pytest.approx(
             ref["tp_errors"][m], abs=1e-9), m
+
+
+# ---------------------------------------------------------------------------
+# tracking (AMOTA/AMOTP) agreement
+# ---------------------------------------------------------------------------
+
+from toc3d_tpu.tracking import metrics as internal_tracking  # noqa: E402
+import devkit_tracking_transcription as devkit_tracking  # noqa: E402
+
+TRACK_CLASSES = list(devkit_tracking.TRACKING_NAMES)
+
+
+def random_tracking_scenario(seed):
+    rng = np.random.RandomState(seed + 10_000)
+    n_scenes = rng.randint(1, 4)
+    scenes, gt_frames, pred_frames = [], {}, {}
+    score_pool = np.round(rng.uniform(0, 1, 6), 2)
+    for s in range(n_scenes):
+        n_frames = rng.randint(3, 9)
+        toks = [f"s{s}_f{t}" for t in range(n_frames)]
+        scenes.append(toks)
+        ego = rng.uniform(-20, 20, 2)
+        # GT tracks: random walks, intermittent visibility (gap coverage
+        # exercises the persistent-correspondence stickiness)
+        tracks = []
+        for k in range(rng.randint(1, 7)):
+            cls = TRACK_CLASSES[rng.randint(len(TRACK_CLASSES))]
+            pos = rng.uniform(-30, 30, 2) + ego
+            vis = rng.rand(n_frames) > 0.25
+            tracks.append((f"gt{s}_{k}", cls, pos, vis))
+        # pred tracks: follow a GT with noise + occasional id switches,
+        # plus pure false positives
+        preds = []
+        for k, (gid, cls, pos, vis) in enumerate(tracks):
+            if rng.rand() < 0.15:
+                continue  # fully-missed track
+            n_segments = 1 + (rng.rand() < 0.3)
+            preds.append((f"hyp{s}_{k}", cls, k, n_segments))
+        n_fp_tracks = rng.randint(0, 3)
+        for t, tok in enumerate(toks):
+            gts, hyps = [], []
+            for gid, cls, pos, vis in tracks:
+                pos = pos + rng.uniform(-1, 1, 2)
+                if vis[t]:
+                    gts.append({"tracking_id": gid, "tracking_name": cls,
+                                "translation": [pos[0], pos[1], 0.0],
+                                "ego_translation": list(ego)})
+            for hid, cls, k, n_seg in preds:
+                gid, _, pos, vis = tracks[k]
+                if rng.rand() < 0.2:
+                    continue  # dropout frame
+                seg = 0 if t < len(toks) // 2 else n_seg - 1
+                noisy = pos + rng.uniform(-2.5, 2.5, 2)
+                hyps.append({
+                    "tracking_id": f"{hid}_seg{seg}",
+                    "tracking_name": cls,
+                    "translation": [noisy[0], noisy[1], 0.0],
+                    "tracking_score":
+                        float(score_pool[rng.randint(len(score_pool))]),
+                    "ego_translation": list(ego)})
+            for k in range(n_fp_tracks):
+                if rng.rand() < 0.5:
+                    p = ego + rng.uniform(-35, 35, 2)
+                    hyps.append({
+                        "tracking_id": f"fp{s}_{k}",
+                        "tracking_name":
+                            TRACK_CLASSES[rng.randint(len(TRACK_CLASSES))],
+                        "translation": [p[0], p[1], 0.0],
+                        "tracking_score":
+                            float(score_pool[rng.randint(len(score_pool))]),
+                        "ego_translation": list(ego)})
+            gt_frames[tok] = gts
+            pred_frames[tok] = hyps
+    return gt_frames, pred_frames, scenes
+
+
+@pytest.mark.parametrize("seed", range(50))
+def test_tracking_metrics_agree(seed):
+    gt_frames, pred_frames, scenes = random_tracking_scenario(seed)
+    ours = internal_tracking.evaluate_tracking(gt_frames, pred_frames, scenes)
+    ref = devkit_tracking.evaluate_tracking(gt_frames, pred_frames, scenes)
+    assert ours["AMOTA"] == pytest.approx(ref["AMOTA"], abs=1e-9)
+    assert ours["AMOTP"] == pytest.approx(ref["AMOTP"], abs=1e-9)
+    assert set(ours["per_class"]) == set(ref["per_class"])
+    for cls, v in ref["per_class"].items():
+        assert ours["per_class"][cls]["amota"] == pytest.approx(
+            v["amota"], abs=1e-9), cls
+        assert ours["per_class"][cls]["amotp"] == pytest.approx(
+            v["amotp"], abs=1e-9), cls

@@ -42,9 +42,15 @@ def test_closure_perfect_tracks():
 def test_false_positives_halve_motar_above_their_threshold():
     """2 GT tracks (scores .9/.8) + 1 far FP (score .85) every frame.
 
-    Hand computation: thresholds map 18 of the 40 targets (those <= 0.5) to
-    0.9 (FP filtered out, MOTAR 1) and 22 to 0.8 (r=1, FP=3, P=6 ->
-    MOTAR = 1 - 3/6 = 0.5). AMOTA = (18 + 22*0.5)/40 = 0.725.
+    Hand computation under devkit-exact INTERPOLATED thresholds
+    (compute_thresholds uses np.interp over (recall, score-desc)):
+    TP scores = 3x0.9 + 3x0.8, P = 6. Recall targets <= 0.5 (18 of 40)
+    -> th 0.9 (only p1 kept: r=0.5, FN exactly offset by (1-r)P, MOTAR 1).
+    Targets k=18..20 (r=0.515..0.562) interpolate to th in (0.85, 0.9)
+    -> same MOTAR 1. k=21..24 interpolate to th in (0.8, 0.85): p1+px
+    kept -> FP=3, matches=3, miss=3, r=0.5, nom=3+3-3=3, den=3 -> MOTAR 0.
+    k=25..39 (15 targets) -> th 0.8, all kept: r=1, MOTAR = 1-3/6 = 0.5.
+    AMOTA = (21*1 + 4*0 + 15*0.5)/40 = 0.7125.
     """
     gt, pred = {}, {}
     for t in range(3):
@@ -54,7 +60,7 @@ def test_false_positives_halve_motar_above_their_threshold():
                      box(t, 10, tid="p2", score=0.8),
                      box(t, 30, tid="px", score=0.85)]
     m = run(gt, pred)
-    assert m["AMOTA"] == pytest.approx((18 + 22 * 0.5) / NUM_THRESHOLDS)
+    assert m["AMOTA"] == pytest.approx((21 + 15 * 0.5) / NUM_THRESHOLDS)
 
 
 def test_id_switch_costs_one_over_p():

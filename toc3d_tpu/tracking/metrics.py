@@ -21,9 +21,11 @@ AMOTA definition):
     with r the achieved recall and P the GT count; MOTP = mean TP distance.
   * AMOTA / AMOTP = mean over the 40 thresholds, then over classes.
 
-Documented divergence: motmetrics' exact event bookkeeping has corner cases
-(e.g. reactivation hysteresis) that this restatement simplifies; fixtures in
-tests/test_tracking_metrics.py pin the behavior to hand-computed values.
+Bookkeeping is motmetrics-exact (persistent last-known correspondences,
+devkit-interpolated recall thresholds): pinned by hand fixtures in
+tests/test_tracking_metrics.py AND a 50-scenario randomized agreement suite
+against an independent literal transcription of the devkit algorithm
+(tests/test_metrics_agreement.py / devkit_tracking_transcription.py).
 """
 from __future__ import annotations
 
@@ -89,13 +91,17 @@ def _hungarian(dist: np.ndarray):
 
 
 class MotAccumulator:
-    """Per-scene, per-class MOT event accumulation (motmetrics semantics:
-    sticky prior correspondences, Hungarian on the rest, switches counted
-    against the GT's most recent association)."""
+    """Per-scene, per-class MOT event accumulation (exact motmetrics
+    MOTAccumulator semantics, pinned by tests/test_metrics_agreement.py):
+    each GT's LAST KNOWN correspondence (persistent across frames with
+    gaps, motmetrics self.m) is re-established first whenever that
+    hypothesis is present and within dist_th — always a MATCH; the
+    remainder is matched by Hungarian assignment; a Hungarian pair whose
+    hypothesis differs from the GT's last known one is a SWITCH.
+    Feasibility is strict (d < dist_th, devkit sets d >= th to NaN)."""
 
     def __init__(self):
-        self.last_match: Dict[str, str] = {}   # gt_id -> most recent hyp_id
-        self.prev_pairs: Dict[str, str] = {}   # matches alive last frame
+        self.last_match: Dict[str, str] = {}   # motmetrics self.m
         self.n_matches = 0
         self.n_switches = 0
         self.n_fp = 0
@@ -114,43 +120,48 @@ class MotAccumulator:
         for i, g in enumerate(gts):
             for j, h in enumerate(hyps):
                 d = _center_dist(g["translation"], h["translation"])
-                if d <= DIST_TH_TP:
+                if d < DIST_TH_TP:
                     dist[i, j] = d
 
         pairs = []
         used_g, used_h = set(), set()
-        # 1) keep prior-frame correspondences while feasible
+        # 1) re-establish last-known correspondences while feasible
+        #    (always counts as MATCH, motmetrics phase 1)
         for i, gid in enumerate(gt_ids):
-            hid = self.prev_pairs.get(gid)
+            hid = self.last_match.get(gid)
             if hid is None or hid not in hyp_ids:
                 continue
             j = hyp_ids.index(hid)
+            if j in used_h:
+                continue
             if np.isfinite(dist[i, j]):
-                pairs.append((i, j))
+                pairs.append((i, j, False))
                 used_g.add(i)
                 used_h.add(j)
-        # 2) Hungarian on the remainder
+        # 2) Hungarian on the remainder; switch iff the GT had a different
+        #    last-known hypothesis (motmetrics phase 2)
         free_g = [i for i in range(len(gts)) if i not in used_g]
         free_h = [j for j in range(len(hyps)) if j not in used_h]
         if free_g and free_h:
             sub = dist[np.ix_(free_g, free_h)]
             for r, c in _hungarian(sub):
-                pairs.append((free_g[r], free_h[c]))
+                i, j = free_g[r], free_h[c]
+                gid, hid = gt_ids[i], hyp_ids[j]
+                is_switch = (gid in self.last_match
+                             and self.last_match[gid] != hid)
+                pairs.append((i, j, is_switch))
 
-        new_pairs = {}
-        for i, j in pairs:
+        for i, j, is_switch in pairs:
             gid, hid = gt_ids[i], hyp_ids[j]
-            if self.last_match.get(gid, hid) != hid:
+            if is_switch:
                 self.n_switches += 1
             else:
                 self.n_matches += 1
             self.last_match[gid] = hid
-            new_pairs[gid] = hid
             self.dist_sum += dist[i, j]
             self.tp_scores.append(hyps[j].get("tracking_score", 0.0))
-        self.prev_pairs = new_pairs
-        matched_h = {j for _, j in pairs}
-        matched_g = {i for i, _ in pairs}
+        matched_h = {j for _, j, _ in pairs}
+        matched_g = {i for i, _, _ in pairs}
         self.n_fp += len(hyps) - len(matched_h)
         self.n_miss += len(gts) - len(matched_g)
 
@@ -186,18 +197,18 @@ def _accumulate_class(gt_frames, pred_frames, scenes, cls, threshold):
 
 def _thresholds_from_scores(scores: List[float], n_gt: int):
     """Map the 40 target recalls to score thresholds (devkit
-    compute_thresholds semantics): threshold = score of the first TP whose
-    cumulative recall reaches the target; unachievable -> None."""
-    recalls = np.linspace(MIN_RECALL, 1.0, NUM_THRESHOLDS)
-    if n_gt == 0:
+    compute_thresholds, exact): thresholds = np.interp(rec_interp, rec,
+    scores-desc); recalls beyond the max achieved recall -> None (devkit
+    NaN -> worst-case values)."""
+    recalls = np.linspace(MIN_RECALL, 1.0, NUM_THRESHOLDS).round(12)
+    if n_gt == 0 or len(scores) == 0:
         return [None] * NUM_THRESHOLDS, recalls
     s = np.sort(np.asarray(scores, np.float64))[::-1]
-    cum_recall = np.arange(1, len(s) + 1) / n_gt
-    out = []
-    for r in recalls:
-        idx = np.searchsorted(cum_recall, r, side="left")
-        out.append(float(s[idx]) if idx < len(s) else None)
-    return out, recalls
+    rec = np.arange(1, len(s) + 1) / n_gt
+    max_recall_achieved = float(np.max(rec))
+    ths = np.interp(recalls, rec, s, right=0)
+    return [None if r > max_recall_achieved else float(t)
+            for r, t in zip(recalls, ths)], recalls
 
 
 def evaluate_tracking(gt_frames: Dict[str, List[Dict]],
