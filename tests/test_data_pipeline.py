@@ -109,6 +109,26 @@ def test_eval_frame_shapes(tmp_path):
     assert meta["token"] == infos.infos[0]["token"]
 
 
+def test_eval_frame_fast_decode(tmp_path):
+    """Draft-mode JPEG decode: same shapes/geometry, pixels close to the
+    exact path (JPEG + drafted-scale bilinear both perturb values; the
+    normalized-image agreement bound is loose but catches layout or
+    BGR-order regressions)."""
+    path = make_synthetic_dataset(str(tmp_path))
+    infos = NuScenesInfos(path)
+    exact, _ = build_eval_frame(infos, 0, TINY_AUG)
+    fast, meta = build_eval_frame(infos, 0, TINY_AUG, fast_decode=True)
+    assert fast["img"].shape == exact["img"].shape
+    np.testing.assert_array_equal(fast["intrinsics"], exact["intrinsics"])
+    # random-noise JPEGs are the adversarial case for resampling diffs;
+    # mean abs diff of normalized pixels must stay small and correlated
+    d = np.abs(fast["img"] - exact["img"]).mean()
+    assert d < 0.5, d
+    c = np.corrcoef(fast["img"].ravel(), exact["img"].ravel())[0, 1]
+    assert c > 0.9, c
+    assert meta["token"] == infos.infos[0]["token"]
+
+
 def test_train_sample_shapes(tmp_path):
     path = make_synthetic_dataset(str(tmp_path))
     infos = NuScenesInfos(path, seq_split_num=1)

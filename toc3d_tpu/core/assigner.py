@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import normalize_bbox
-from .losses import cxcywh_to_xyxy, giou_aligned
+from .losses import _safe_pow, cxcywh_to_xyxy, giou_aligned
 
 BIG_COST = 1e6
 
@@ -122,8 +122,11 @@ def focal_cls_cost(cls_pred, gt_labels, weight=2.0, alpha=0.25, gamma=2.0,
     """mmdet FocalLossCost. cls_pred: (Q, C) logits; gt_labels: (G,) int.
     Returns (Q, G)."""
     p = jax.nn.sigmoid(cls_pred.astype(jnp.float32))
-    neg = -jnp.log(1 - p + eps) * (1 - alpha) * p ** gamma
-    pos = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    # clip-before-log, not additive eps: XLA:TPU folds `1 - p + eps` to
+    # exactly 0 at p==1 (see losses.gaussian_focal_loss), and an inf cost
+    # breaks both the host LSA and the device auction.
+    neg = -jnp.log(jnp.clip(1 - p, eps, None)) * (1 - alpha) * _safe_pow(p, gamma)
+    pos = -jnp.log(jnp.clip(p, eps, None)) * alpha * _safe_pow(1 - p, gamma)
     diff = pos - neg                     # (Q, C)
     return diff[:, gt_labels] * weight
 

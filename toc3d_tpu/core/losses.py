@@ -84,14 +84,23 @@ def gaussian_focal_loss(pred, target, weight, avg_factor=None,
                         alpha=2.0, gamma=4.0, loss_weight=1.0, eps=1e-12):
     """mmdet GaussianFocalLoss: pred in (0,1), gaussian-heatmap target.
     f32 + integer powers (see _safe_pow): bf16 preds saturate to exactly
-    0/1 and TPU's float-pow lowering NaNs at those endpoints."""
+    0/1 and TPU's float-pow lowering NaNs at those endpoints.
+
+    The log arguments are clamped with clip, NOT the mmdet additive
+    `1 - pred + eps`: XLA:TPU evaluates `1.0 - x + 1e-12` as exactly 0.0
+    at x==1 (the eps is folded away), so `log(...) -> -inf` and the
+    `inf * 0` against the opposite-branch weight made NaN — this was the
+    "train-step non-finite" bug on axon (bisected 2026-08-17, probe:
+    tools/semantic_nan_probe.py). Branches are selected with `where` so
+    no inf can ever multiply a zero weight, forward or backward."""
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
-    pos_w = (target == 1).astype(pred.dtype)
     neg_w = _safe_pow(1 - target, gamma)
-    loss = (-jnp.log(pred + eps) * _safe_pow(1 - pred, alpha) * pos_w
-            - jnp.log(1 - pred + eps) * _safe_pow(pred, alpha) * neg_w
-            * (1 - pos_w))
+    log_p = jnp.log(jnp.clip(pred, eps, None))
+    log_q = jnp.log(jnp.clip(1.0 - pred, eps, None))
+    pos_loss = -log_p * _safe_pow(1 - pred, alpha)
+    neg_loss = -log_q * _safe_pow(pred, alpha) * neg_w
+    loss = jnp.where(target == 1.0, pos_loss, neg_loss)
     if avg_factor is None:
         # 'mean' reduction over weighted elements (mmdet default)
         return loss_weight * jnp.sum(loss * weight) / jnp.maximum(

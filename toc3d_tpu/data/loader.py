@@ -29,10 +29,35 @@ def _load_image_bgr(path: str) -> np.ndarray:
     return rgb[..., ::-1]
 
 
+def _load_transform_fast(path: str, resize_dims, crop, flip: bool):
+    """Fused decode->resize->crop->flip in PIL with JPEG draft-mode decode.
+
+    `draft` decodes at a DCT-domain power-of-2 reduction >= resize_dims —
+    ~4x faster than full decode for the 800x320 pipeline (1600x900 source
+    halves to 800x450 in the decoder). One numpy conversion at the end
+    instead of loader.py's numpy->PIL->numpy round trip. Pixel values
+    differ slightly from the exact path (bilinear from the drafted scale),
+    so this is opt-in (fast_decode) for speed runs / production serving,
+    not the parity-tested default."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.format == "JPEG":
+            im.draft("RGB", resize_dims)
+        pil = im.convert("RGB").resize(resize_dims)
+    pil = pil.crop(crop)
+    if flip:
+        pil = pil.transpose(method=Image.FLIP_LEFT_RIGHT)
+    out = np.asarray(pil, np.float32)[..., ::-1]         # BGR
+    return np.ascontiguousarray(out)
+
+
 def build_eval_frame(infos: NuScenesInfos, index: int, aug: AugConfig,
-                     data_root: Optional[str] = None) -> Dict:
+                     data_root: Optional[str] = None,
+                     fast_decode: bool = False) -> Dict:
     """Deterministic eval preprocessing for one sample -> numpy frame dict
-    (B=1 leading axis) + meta for submission formatting."""
+    (B=1 leading axis) + meta for submission formatting. fast_decode uses
+    JPEG draft-mode decoding (see _load_transform_fast)."""
     meta = infos.frame_meta(index)
     resize, resize_dims, crop, flip = sample_augmentation(aug, training=False)
     ida = ida_matrix(resize, crop, flip)
@@ -42,8 +67,11 @@ def build_eval_frame(infos: NuScenesInfos, index: int, aug: AugConfig,
                                 meta["extrinsics"]):
         if data_root is not None and not path.startswith("/"):
             path = f"{data_root.rstrip('/')}/{path.lstrip('./')}"
-        img = _load_image_bgr(path)
-        img = transform_image(img, resize_dims, crop, flip)
+        if fast_decode:
+            img = _load_transform_fast(path, resize_dims, crop, flip)
+        else:
+            img = _load_image_bgr(path)
+            img = transform_image(img, resize_dims, crop, flip)
         img = pad_to_multiple(normalize_image(img), 32)
         imgs.append(img)
         intr = intr.copy()

@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""End-to-end host-pipeline throughput (VERDICT r2 #8).
+
+Generates synthetic nuScenes-like infos with REAL full-resolution
+(900x1600) JPEGs on disk, then measures three rates for one config:
+
+  host   — build_eval_frame alone (JPEG decode + resize + normalize),
+           exact and fast (draft-mode) decode variants;
+  infer  — the device loop on a preloaded frame (bench.py protocol);
+  e2e    — PrefetchIterator(load) -> infer, the real serving loop.
+
+Overlap efficiency = infer_wall / e2e_wall: 1.0 means the prefetch thread
+fully hides host preprocessing behind device compute; on this 1-core host
+the pipeline is expected to be host-bound (the reference hides the same
+work behind torch DataLoader workers on many-core machines — this records
+how far one core gets and how much draft decode claws back).
+
+Usage: python tools/host_pipeline_bench.py [--config ToC3D_faster]
+           [--frames 230] [--warmup 200] [--distinct 24]
+"""
+import argparse
+import json
+import os
+import pickle
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def make_fullres_dataset(tmpdir, n_frames, n_distinct, n_cams=6,
+                         src_h=900, src_w=1600):
+    """Infos pkl over n_frames samples (one scene) cycling n_distinct
+    physically-written JPEG image sets — decode cost per frame is real,
+    generation cost is bounded."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    img_dir = os.path.join(tmpdir, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    paths = []
+    base = rng.randint(0, 255, (src_h, src_w, 3), np.uint8)
+    for d in range(n_distinct):
+        row = []
+        for c in range(n_cams):
+            p = os.path.join(img_dir, f"d{d}_c{c}.jpg")
+            # shifted copies of one noise base: distinct files + realistic
+            # JPEG entropy without n_distinct*n_cams RNG draws
+            Image.fromarray(np.roll(base, d * 31 + c * 7, axis=1)).save(
+                p, quality=90)
+            row.append(p)
+        paths.append(row)
+
+    intr = np.eye(3)
+    intr[0, 0] = intr[1, 1] = 1200.0
+    intr[0, 2], intr[1, 2] = src_w / 2, src_h / 2
+    infos = []
+    t = 1_600_000_000_000_000
+    for f in range(n_frames):
+        cams = {}
+        for c, p in enumerate(paths[f % n_distinct]):
+            cams[f"CAM{c}"] = {
+                "data_path": p,
+                "cam_intrinsic": intr,
+                "sensor2lidar_rotation": np.eye(3),
+                "sensor2lidar_translation": np.zeros(3),
+                "timestamp": t,
+            }
+        infos.append({
+            "cams": cams, "token": f"f{f}", "scene_token": "scene0",
+            "timestamp": t, "prev": "" if f == 0 else f"f{f-1}", "next": "",
+            "frame_idx": f, "lidar_path": "none.bin",
+            "sweeps": [] if f == 0 else [{"fake": 1}],
+            "ego2global_rotation": [1, 0, 0, 0],
+            "ego2global_translation": [0.1 * f, 0.0, 0.0],
+            "lidar2ego_rotation": [1, 0, 0, 0],
+            "lidar2ego_translation": [0.0, 0.0, 1.5],
+            "gt_boxes": np.zeros((0, 7)), "gt_velocity": np.zeros((0, 2)),
+            "gt_names": np.array([], dtype=object),
+            "valid_flag": np.ones(0, bool),
+            "num_lidar_pts": np.zeros(0, np.int64),
+        })
+        t += 500_000
+    path = os.path.join(tmpdir, "infos.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump({"infos": infos,
+                     "metadata": {"version": "v1.0-test-synthetic"}}, fh)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="ToC3D_faster")
+    ap.add_argument("--frames", type=int, default=230)
+    ap.add_argument("--warmup", type=int, default=200)
+    ap.add_argument("--distinct", type=int, default=24)
+    ap.add_argument("--host-probe", type=int, default=24,
+                    help="frames for the host-only timing pass")
+    ap.add_argument("--keep", default=None,
+                    help="directory to generate into (kept); default tmp")
+    args = ap.parse_args()
+
+    import jax
+    from toc3d_tpu.configs import get_config
+    from toc3d_tpu.data.nuscenes import NuScenesInfos, AUG_800x320, AUG_1600x800
+    from toc3d_tpu.data.loader import build_eval_frame, PrefetchIterator
+    from toc3d_tpu.models.detector import init_detector, init_state, make_infer_fn
+
+    cfg = get_config(args.config)
+    aug = AUG_1600x800 if cfg.pad_shape == (800, 1600) else AUG_800x320
+
+    tmpdir = args.keep or tempfile.mkdtemp(prefix="hostpipe_")
+    try:
+        print(f"# generating {args.distinct} distinct 6-cam JPEG frames "
+              f"in {tmpdir} ...", file=sys.stderr, flush=True)
+        ann = make_fullres_dataset(tmpdir, args.frames + args.warmup,
+                                   args.distinct)
+        infos = NuScenesInfos(ann)
+        n = len(infos)
+
+        # --- host-only -------------------------------------------------
+        host = {}
+        for mode in ("exact", "fast"):
+            build_eval_frame(infos, 0, aug, fast_decode=(mode == "fast"))
+            t0 = time.perf_counter()
+            for i in range(args.host_probe):
+                build_eval_frame(infos, i % n, aug,
+                                 fast_decode=(mode == "fast"))
+            host[mode] = (time.perf_counter() - t0) / args.host_probe
+            print(f"# host {mode}: {1000 * host[mode]:.1f} ms/frame",
+                  file=sys.stderr, flush=True)
+
+        # --- device-only (bench protocol, preloaded frame) -------------
+        params = jax.jit(lambda k: init_detector(k, cfg))(
+            jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        infer = make_infer_fn(cfg)
+        state = init_state(1, cfg)
+        frame, _ = build_eval_frame(infos, 0, aug)
+        frame["prev_exists"][:] = 0.0
+        for i in range(args.warmup):
+            state, det = infer(params, state, frame)
+            if (i + 1) % 25 == 0:
+                np.asarray(det.scores)
+        np.asarray(det.scores)
+        t0 = time.perf_counter()
+        prev = None
+        for i in range(args.frames):
+            state, det = infer(params, state, frame)
+            if prev is not None:
+                np.asarray(prev.scores)
+            prev = det
+        np.asarray(prev.scores)
+        infer_wall = (time.perf_counter() - t0) / args.frames
+
+        # --- end-to-end -------------------------------------------------
+        def run_e2e(fast):
+            st = init_state(1, cfg)
+            prev_scene = [None]
+
+            def gen():
+                for i in range(n):
+                    yield build_eval_frame(infos, i, aug, fast_decode=fast)
+
+            t_timed, timed, prev = 0.0, 0, None
+            t0 = time.perf_counter()
+            for i, (fr, meta) in enumerate(PrefetchIterator(gen(), depth=4)):
+                fr["prev_exists"][:] = float(
+                    meta["scene_token"] == prev_scene[0])
+                prev_scene[0] = meta["scene_token"]
+                t1 = time.perf_counter()
+                s2, det = infer(params, st, fr)
+                st = s2
+                if prev is not None:
+                    np.asarray(prev.scores)
+                prev = det
+                if i == args.warmup - 1:
+                    np.asarray(det.scores)
+                    prev = None
+                    t0 = time.perf_counter()
+            np.asarray(prev.scores)
+            return (time.perf_counter() - t0) / (n - args.warmup)
+
+        e2e_fast = run_e2e(True)
+        e2e_exact = run_e2e(False)
+
+        out = {
+            "metric": f"{args.config} host-pipeline e2e",
+            "value": round(1.0 / e2e_fast, 3),
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "host_exact_ms": round(1000 * host["exact"], 1),
+            "host_fast_ms": round(1000 * host["fast"], 1),
+            "infer_ms": round(1000 * infer_wall, 1),
+            "e2e_exact_ms": round(1000 * e2e_exact, 1),
+            "e2e_fast_ms": round(1000 * e2e_fast, 1),
+            "overlap_eff_fast": round(infer_wall / e2e_fast, 3),
+            "host_bound": bool(e2e_fast > 1.1 * infer_wall),
+        }
+        print(json.dumps(out))
+    finally:
+        if args.keep is None:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

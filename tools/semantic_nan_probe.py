@@ -64,9 +64,54 @@ def main():
 
     mn, mx, nbad, n0, n1 = [np.asarray(x) for x in jax.jit(masks_fn)(params)]
     for i in range(len(mn)):
-        print(f"  mask[{i}]: min={mn[i]:.3e} max={mx[i]:.6f} "
+        print(f"  mask[{i}]: min={float(mn[i]):.3e} max={float(mx[i]):.6f} "
               f"nonfinite={int(nbad[i])} exact0={int(n0[i])} "
               f"exact1={int(n1[i])}", flush=True)
+
+    # isolate: fetch masks to host, recompute the loss from a SECOND
+    # program whose input is the fetched masks (breaks any in-program
+    # fusion), and also recompute the focal math in numpy
+    def masks_raw(params):
+        k_mask, k_sel, k_dn, k_drop = jax.random.split(rng, 4)
+        from toc3d_tpu.models.grid_mask import grid_mask
+        img = batch["img"]
+        if cfg.use_grid_mask:
+            img = grid_mask(k_mask, img)
+        feats, aux = extract_img_feat(params, cfg, img, memory, batch,
+                                      rng=k_sel, remat=True, fused_ok=False)
+        return jnp.stack([m[..., 0] for m in aux["token_masks"]])
+
+    masks = np.asarray(jax.jit(masks_raw)(params))
+    print(f"  masks host: shape={masks.shape} "
+          f"nonfinite={int((~np.isfinite(masks)).sum())} "
+          f"min={np.nanmin(masks):.3e} max={np.nanmax(masks):.6f}",
+          flush=True)
+    b, n = batch["img"].shape[:2]
+    g2 = batch["gt_bboxes_2d"].shape[2]
+    b2d = batch["gt_bboxes_2d"].reshape(b * n, g2, 4)
+    v2d = batch["gt_valid_2d"].reshape(b * n, g2)
+    sem2 = jax.jit(lambda m: token_selection_loss(
+        m, b2d, v2d, patch_size=cfg.backbone.patch_size, loss_weight=5.0))(
+        jnp.asarray(masks))
+    print(f"  semantic_loss from fetched masks (2nd program): "
+          f"{float(np.asarray(sem2)):.6f}", flush=True)
+
+    from toc3d_tpu.core.losses import token_selection_targets
+    tgt = np.asarray(jax.jit(lambda: token_selection_targets(
+        b2d, v2d, masks.shape[2], masks.shape[3],
+        cfg.backbone.patch_size, 0.0))())
+    print(f"  targets: nonfinite={int((~np.isfinite(tgt)).sum())} "
+          f"min={tgt.min():.3f} max={tgt.max():.3f} "
+          f"exact1={int((tgt == 1.0).sum())}", flush=True)
+    # numpy focal recompute
+    p = np.clip(masks.astype(np.float64), 0, 1)
+    t = np.broadcast_to(tgt[None], p.shape).astype(np.float64)
+    posw = (t == 1.0)
+    eps = 1e-12
+    loss = (-np.log(p + eps) * (1 - p) ** 2 * posw
+            - np.log(1 - p + eps) * p ** 2 * (1 - t) ** 4 * (~posw))
+    print(f"  numpy focal: nonfinite={int((~np.isfinite(loss)).sum())} "
+          f"mean={loss.mean():.6f}", flush=True)
 
     # (b) value_and_grad primal
     def loss_fn(params):
