@@ -110,6 +110,42 @@ def test_fused_compressed_block_matches_xla():
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_fused_blocks_flat_fallback_matches_xla(monkeypatch):
+    """ws % 8 != 0 normally takes the wsplit path; the flat
+    window-partition fallback must produce the same results (both full and
+    compressed)."""
+    import toc3d_tpu.ops.pallas.vit_block as vb
+    from toc3d_tpu.models.eva_vit import block_forward, EVAViTConfig
+    from toc3d_tpu.models.toc3d_vit import (toc3d_block_forward,
+                                            ToC3DViTConfig)
+
+    monkeypatch.setattr(vb, "FORCE_FLAT_LAYOUT", True)
+    rng = np.random.RandomState(7)
+    b, h, w, c, heads, ws = 2, 7, 11, 32, 2, 4
+    p = _block_params(jax.random.PRNGKey(4), c, 64)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    tables = build_rope_table(c // heads // 2, ws, ws)
+
+    cfg = EVAViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                       window_size=ws)
+    ref = block_forward(p, x, cfg, ws, tables)
+    out = vb.fused_full_block(p, x, heads, ws, tables, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
+    tcfg = ToC3DViTConfig(
+        embed_dim=c, num_heads=heads, mlp_ratio=2.0, window_size=ws,
+        pruning_loc=(0,), token_ratio=(0.5,), global_attn_indexes=(9,),
+        use_represent_tokens=True, rope_acc=True)
+    ref2 = toc3d_block_forward(p, x, scores, tcfg, ws, 0.5, tables)
+    out2 = vb.fused_compressed_block(p, x, scores, heads, ws, 0.5, tables,
+                                     use_represent=True, rope_acc=True,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_trainable_fused_blocks_grad_matches_xla():
     """custom-VJP wrappers: kernel forward (interpret), gradients must equal
     the XLA path's (the backward re-derives through the XLA body)."""

@@ -39,6 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..window import pad_hw
 
 LN_EPS = 1e-6
+# tests flip this to exercise the flat window-partition fallback layout
+FORCE_FLAT_LAYOUT = False
 
 
 def _ln(x, scale, bias, eps=LN_EPS):
@@ -156,19 +158,46 @@ def _weight_specs():
 # full (non-compressed) block
 # ---------------------------------------------------------------------------
 
-def _token_valid_mask(ws: int, hw):
-    """(n, 1) bool validity of each window token against the real image
-    bounds — True semantics of zero-padding without materializing the pad:
-    grid blocks may overrun the (unpadded) array, reads there are
+def _window_valid_mask(ws: int, hw, i, j):
+    """(n, 1) bool validity of window (i, j)'s tokens against the real
+    image bounds — True semantics of zero-padding without materializing the
+    pad: grid blocks may overrun the (unpadded) array, reads there are
     unspecified, so invalid tokens are zeroed in-kernel (identical math to
     the reference's zero-padded windows) and their writes are dropped by
     the out-of-bounds store masking."""
-    i, j = pl.program_id(1), pl.program_id(2)
     t = jax.lax.broadcasted_iota(jnp.int32, (ws * ws, 1), 0)
     return ((i * ws + t // ws) < hw[0]) & ((j * ws + t % ws) < hw[1])
 
 
-def _full_block_kernel(x_ref, *rest, num_heads, ws, use_rope, flat,
+def _load_window(x_ref, mode: str, ws: int, sanitize_hw):
+    """This grid step's window as (n, C) tokens, zeroed where outside the
+    real image."""
+    n = ws * ws
+    c = x_ref.shape[-1]
+    if mode == "flat":
+        return x_ref[0]
+    if mode == "image":
+        x = x_ref[0].reshape(n, c)
+    else:                                    # wsplit: (1, ws, 1, ws, C)
+        x = x_ref[0, :, 0].reshape(n, c)
+    if sanitize_hw is not None:
+        i, j = pl.program_id(1), pl.program_id(2)
+        x = jnp.where(_window_valid_mask(ws, sanitize_hw, i, j), x,
+                      jnp.zeros_like(x))
+    return x
+
+
+def _store_window(o_ref, y, mode: str, ws: int):
+    c = o_ref.shape[-1]
+    if mode == "flat":
+        o_ref[0] = y
+    elif mode == "image":
+        o_ref[0] = y.reshape(ws, ws, c)
+    else:
+        o_ref[0, :, 0] = y.reshape(ws, ws, c)
+
+
+def _full_block_kernel(x_ref, *rest, num_heads, ws, use_rope, mode,
                        sanitize_hw=None):
     wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
     rest = rest[len(_WEIGHT_NAMES):]
@@ -180,35 +209,40 @@ def _full_block_kernel(x_ref, *rest, num_heads, ws, use_rope, flat,
         (o_ref,) = rest
         cos = sin = None
     n = ws * ws
-    c = x_ref.shape[-1]
-    x = x_ref[0] if flat else x_ref[0].reshape(n, c)
-    if sanitize_hw is not None:
-        x = jnp.where(_token_valid_mask(ws, sanitize_hw), x,
-                      jnp.zeros_like(x))
-
+    x = _load_window(x_ref, mode, ws, sanitize_hw)
     h = _ln(x, wrefs["ln1s"][:], wrefs["ln1b"][:])
     x = x + _attention(h, wrefs, num_heads, cos, sin, n, x.dtype)
     x = x + _swiglu(_ln(x, wrefs["ln2s"][:], wrefs["ln2b"][:]), wrefs)
-    o_ref[0] = x if flat else x.reshape(ws, ws, c)
+    _store_window(o_ref, x, mode, ws)
 
 
 def _layout_plan(x, ws: int):
-    """Choose the kernel input layout. Image-layout blocks (1, ws, ws, C)
-    need ws % 8 == 0 (Mosaic: second-to-last block dim divisible by 8);
-    otherwise window-partition outside (one XLA copy each way) and feed
-    flat (W, n, C) blocks.
+    """Choose the kernel input layout.
 
-    Image-layout blocks run directly on the UNPADDED image: grid blocks at
-    the right/bottom edges overrun the array (Pallas masks those stores),
-    and the kernel zeroes the overrun tokens (sanitize_hw) — the exact
-    zero-pad semantics without the former per-layer jnp.pad + unpad-slice
-    copies (~6 ms/frame at 1600x800 across the 16 ws-16 layers)."""
+    * ws % 8 == 0: image-layout blocks (1, ws, ws, C) straight on the
+      unpadded image (Mosaic needs the second-to-last block dim divisible
+      by 8). Grid blocks at the right/bottom edges overrun the array
+      (Pallas masks those stores) and the kernel zeroes the overrun tokens
+      (sanitize_hw) — exact zero-pad semantics without per-layer jnp.pad +
+      unpad-slice copies.
+    * ws % 8 != 0 (the ws=20 global layers): WSPLIT mode — pad w to a
+      multiple of ws (free at 1600x800 where w_tokens=100), then the
+      zero-copy row-major reshape (B, H, wp, C) -> (B, H, nw, ws, C) puts
+      the window column index on its own dim. Blocks (1, ws, 1, ws, C) are
+      then one window each, assembled by the block DMA (ws strided
+      row-segments) — the window_partition/unpartition HBM transposes
+      (~10 ms/frame at 1600x800 over the ViT-L ws=20 layers) never happen.
+      Legal for any ws: the block's second-to-last dim equals the array
+      dim, which is exempt from Mosaic's %8 rule.
+    * fallback (FORCE_FLAT_LAYOUT, tests): window-partition outside and
+      feed flat (W, n, C) blocks.
+    """
     from ..window import window_partition
 
     b, h, w, c = x.shape
     hp, wp = pad_hw(h, w, ws)
     n = ws * ws
-    if ws % 8 == 0:
+    if ws % 8 == 0 and not FORCE_FLAT_LAYOUT:
         nh, nw_ = hp // ws, wp // ws
         grid = (b, nh, nw_)
         spec = pl.BlockSpec((1, ws, ws, c), lambda bb, i, j: (bb, i, j, 0),
@@ -222,7 +256,28 @@ def _layout_plan(x, ws: int):
         def widx(bb, i, j):
             return bb * nh * nw_ + i * nw_ + j
 
-        return x, grid, spec, shape, False, unpack, widx, sanitize_hw
+        return ("image", x, grid, spec, shape, unpack, widx, sanitize_hw)
+
+    if not FORCE_FLAT_LAYOUT:
+        nh, nw_ = hp // ws, wp // ws
+        if wp > w:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        x = x.reshape(b, h, nw_, ws, c)
+        grid = (b, nh, nw_)
+        spec = pl.BlockSpec((1, ws, 1, ws, c),
+                            lambda bb, i, j: (bb, i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+        shape = (b, h, nw_, ws, c)
+        sanitize_hw = (h, w) if (hp > h or wp > w) else None
+
+        def unpack(out):
+            out = out.reshape(b, h, wp, c)
+            return out[:, :, :w] if wp > w else out
+
+        def widx(bb, i, j):
+            return bb * nh * nw_ + i * nw_ + j
+
+        return ("wsplit", x, grid, spec, shape, unpack, widx, sanitize_hw)
 
     xw, padded = window_partition(x, ws)          # (W, ws, ws, C)
     nw = xw.shape[0]
@@ -240,7 +295,7 @@ def _layout_plan(x, ws: int):
     def widx(i):
         return i
 
-    return xw, grid, spec, shape, True, unpack, widx, None
+    return ("flat", xw, grid, spec, shape, unpack, widx, None)
 
 
 def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
@@ -253,7 +308,7 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
     b, h, w, c = x.shape
     ws = window_size
     n = ws * ws
-    xk, grid, spec, shape, flat, unpack, _, sanitize_hw = _layout_plan(x, ws)
+    mode, xk, grid, spec, shape, unpack, _, sanitize_hw = _layout_plan(x, ws)
     use_rope = rope_tables is not None
     weights = _flatten_params(p, x.dtype)
     args = (xk,) + weights
@@ -265,7 +320,7 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     kernel = functools.partial(_full_block_kernel, num_heads=num_heads,
-                               ws=ws, use_rope=use_rope, flat=flat,
+                               ws=ws, use_rope=use_rope, mode=mode,
                                sanitize_hw=sanitize_hw)
     nw = 1
     for g in grid:
@@ -297,15 +352,12 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
 
 def _compressed_block_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
                              num_heads, ws, k_slow, n_valid, use_rope,
-                             has_rep, flat, sanitize_hw=None):
+                             has_rep, mode, sanitize_hw=None):
     wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
     o_ref = rest[len(_WEIGHT_NAMES)]
     n = ws * ws
     c = x_ref.shape[-1]
-    x = x_ref[0] if flat else x_ref[0].reshape(n, c)
-    if sanitize_hw is not None:
-        x = jnp.where(_token_valid_mask(ws, sanitize_hw), x,
-                      jnp.zeros_like(x))
+    x = _load_window(x_ref, mode, ws, sanitize_hw)
     g = g_ref[0]                                     # (k_rows, n)
     k_rows = g.shape[0]
 
@@ -334,7 +386,7 @@ def _compressed_block_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
         rep_delta = jnp.zeros((1, c), jnp.float32)
     fast = (x.astype(jnp.float32) + rep_delta) * (1.0 - slow_cols)
     out = (out_slow + fast).astype(x.dtype)
-    o_ref[0] = out if flat else out.reshape(ws, ws, c)
+    _store_window(o_ref, out, mode, ws)
 
 
 def _round_up(v, m):
@@ -417,8 +469,8 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
         cos = jnp.zeros((nw, k_rows, d), jnp.float32)
         sin = cos
 
-    xk, grid, spec, shape, flat, unpack, widx, sanitize_hw = _layout_plan(
-        x, ws)
+    (mode, xk, grid, spec, shape, unpack, widx,
+     sanitize_hw) = _layout_plan(x, ws)
     gspec = pl.BlockSpec((1, k_rows, n),
                          lambda *ids: (widx(*ids), 0, 0),
                          memory_space=pltpu.VMEM)
@@ -429,7 +481,7 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
     weights = _flatten_params(p, x.dtype)
     kernel = functools.partial(_compressed_block_kernel, num_heads=num_heads,
                                ws=ws, k_slow=k, n_valid=n_valid,
-                               use_rope=use_rope, has_rep=has_rep, flat=flat,
+                               use_rope=use_rope, has_rep=has_rep, mode=mode,
                                sanitize_hw=sanitize_hw)
     hidden = p["mlp"]["w1"]["w"].shape[1]
     flops_w = (8 * k_rows * c * c + 4 * k_rows * k_rows * c

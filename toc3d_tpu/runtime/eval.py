@@ -41,6 +41,24 @@ DEFAULT_ATTRIBUTE = {
     "traffic_cone": "",
 }
 
+def velocity_attribute(name: str, speed: float) -> str:
+    """The reference's speed-threshold attribute rule
+    (nuscenes_dataset.py:335-355): moving/with_rider above 0.2 m/s, the
+    class default (parked/standing/stopped) below."""
+    if speed > 0.2:
+        if name in ("car", "construction_vehicle", "bus", "truck",
+                    "trailer"):
+            return "vehicle.moving"
+        if name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+        return DEFAULT_ATTRIBUTE[name]
+    if name == "pedestrian":
+        return "pedestrian.standing"
+    if name == "bus":
+        return "vehicle.stopped"
+    return DEFAULT_ATTRIBUTE[name]
+
+
 # detection_cvpr_2019 class ranges, clamped to max_depth=60
 # (CustomNuScenesDataset.__init__, nuscenes_dataset.py:56-58)
 CLASS_RANGE = {
@@ -106,22 +124,7 @@ def detections_to_nusc_annos(boxes, scores, labels, info_meta,
         vel = e2g_r @ vel
         quat = quat_multiply(e2g_q, quat)
 
-        speed = math.hypot(vel[0], vel[1])
-        if speed > 0.2:
-            if name in ("car", "construction_vehicle", "bus", "truck",
-                        "trailer"):
-                attr = "vehicle.moving"
-            elif name in ("bicycle", "motorcycle"):
-                attr = "cycle.with_rider"
-            else:
-                attr = DEFAULT_ATTRIBUTE[name]
-        else:
-            if name == "pedestrian":
-                attr = "pedestrian.standing"
-            elif name == "bus":
-                attr = "vehicle.stopped"
-            else:
-                attr = DEFAULT_ATTRIBUTE[name]
+        attr = velocity_attribute(name, math.hypot(vel[0], vel[1]))
 
         annos.append({
             "sample_token": info_meta["token"],

@@ -257,7 +257,8 @@ def evaluate_json(result_path: str, gt_path: str) -> Dict:
 def build_gt_from_infos(infos) -> Dict[str, List[Dict]]:
     """GT submission-format dicts from the temporal info pkl entries."""
     from ..data.nuscenes import quaternion_rotation_matrix, pose_matrix
-    from ..runtime.eval import yaw_to_quaternion, quat_multiply
+    from ..runtime.eval import (yaw_to_quaternion, quat_multiply,
+                                velocity_attribute)
     from ..configs.presets import CLASS_NAMES
 
     out = {}
@@ -292,7 +293,11 @@ def build_gt_from_infos(infos) -> Dict[str, List[Dict]]:
                 "rotation": quat.tolist(),
                 "velocity": vel[:2].tolist(),
                 "detection_name": names[i],
-                "attribute_name": "",
+                # real nuScenes GT carries an attribute per box; synthetic
+                # infos don't, so derive it with the same speed rule the
+                # prediction path uses (nuscenes_dataset.py:335-355)
+                "attribute_name": velocity_attribute(
+                    names[i], float(np.hypot(vel[0], vel[1]))),
                 "ego_translation": (e2g_t).tolist(),
             })
         out[info["token"]] = annos
