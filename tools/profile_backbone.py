@@ -114,6 +114,22 @@ def main():
     for name, dur in per_name.most_common(args.top):
         print(f"  {dur/1000/args.iters:9.3f}  {name[:120]}")
 
+    # aggregate EVERY op by its name prefix (strip trailing .N / (id)
+    # suffixes) so the long tail of sub-0.1 ms ops is visible instead of
+    # silently truncated by --top
+    import re
+    by_prefix = collections.Counter()
+    count = collections.Counter()
+    for name, dur in per_name.items():
+        if name.startswith("jit_"):        # whole-program lane events
+            continue
+        prefix = re.sub(r"[.\d()\-]+$", "", name)
+        by_prefix[prefix] += dur
+        count[prefix] += 1
+    print("\n== all inner ops by prefix (ms/frame, count) ==")
+    for prefix, dur in by_prefix.most_common():
+        print(f"  {dur/1000/args.iters:9.3f}  x{count[prefix]:<4d} {prefix[:100]}")
+
 
 if __name__ == "__main__":
     main()
