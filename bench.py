@@ -229,13 +229,22 @@ def main():
     step = make_infer_fn(cfg)
     rng = np.random.RandomState(0)
 
-    frames = [make_frame(rng, b, n, h, w, 0.0 if i == 0 else 1.0)
-              for i in range(4)]
+    # 4 distinct image contents, cycled; prev_exists follows the nuScenes
+    # scene structure (~40 frames/scene, 20 s at 2 Hz) so the first-frame
+    # branch (score-MLP selector + memory refresh) is paid at the same
+    # ~2.5% rate the reference's val-set protocol pays it — cycling it
+    # every 4 frames (the old scheme) over-taxed it 10x.
+    SCENE_LEN = 40
+    variants = [[make_frame(rng, b, n, h, w, pe) for _ in range(4)]
+                for pe in (0.0, 1.0)]
+
+    def frame_at(i):
+        return variants[0 if i % SCENE_LEN == 0 else 1][i % 4]
 
     # warmup (compile + cache); np.asarray forces real completion — the
     # axon tunnel's block_until_ready does not block reliably.
     for i in range(args.warmup):
-        state, det = step(params, state, frames[i % len(frames)])
+        state, det = step(params, state, frame_at(i))
         if (i + 1) % 25 == 0:
             np.asarray(det.scores)   # bound the async dispatch queue
     np.asarray(det.scores)
@@ -247,7 +256,7 @@ def main():
     t0 = time.perf_counter()
     prev = None
     for i in range(args.frames):
-        state, det = step(params, state, frames[i % len(frames)])
+        state, det = step(params, state, frame_at(i))
         if prev is not None:
             np.asarray(prev.scores)
         prev = det

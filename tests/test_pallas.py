@@ -111,7 +111,7 @@ def test_fused_compressed_block_matches_xla():
 
 
 def test_fused_blocks_flat_fallback_matches_xla(monkeypatch):
-    """ws % 8 != 0 normally takes the wsplit path; the flat
+    """ws % 8 != 0 normally takes the stripe path; the flat
     window-partition fallback must produce the same results (both full and
     compressed)."""
     import toc3d_tpu.ops.pallas.vit_block as vb

@@ -191,10 +191,7 @@ def _load_window(x_ref, mode: str, ws: int, sanitize_hw):
     c = x_ref.shape[-1]
     if mode == "flat":
         return x_ref[0]
-    if mode == "image":
-        x = x_ref[0].reshape(n, c)
-    else:                                    # wsplit: (1, ws, 1, ws, C)
-        x = x_ref[0, :, 0].reshape(n, c)
+    x = x_ref[0].reshape(n, c)                   # image: (1, ws, ws, C)
     if sanitize_hw is not None:
         i, j = pl.program_id(1), pl.program_id(2)
         x = jnp.where(_window_valid_mask(ws, sanitize_hw, i, j), x,
@@ -206,10 +203,98 @@ def _store_window(o_ref, y, mode: str, ws: int):
     c = o_ref.shape[-1]
     if mode == "flat":
         o_ref[0] = y
-    elif mode == "image":
-        o_ref[0] = y.reshape(ws, ws, c)
     else:
-        o_ref[0, :, 0] = y.reshape(ws, ws, c)
+        o_ref[0] = y.reshape(ws, ws, c)
+
+
+def _stripe_tokens(x_ref, ws: int, nwj: int, sanitize_hw):
+    """Stripe block (1, ws, w, C) -> (nwj*ws*ws, C) window-major tokens.
+
+    Rows below the real image bottom are zeroed (the stripe grid may
+    overrun h; Pallas loads there are unspecified and the matching stores
+    are dropped). Columns are padded with zeros to nwj*ws when the image
+    width is not a multiple of ws — identical zero-pad window semantics to
+    the reference (eva_vit.py window_partition)."""
+    x = x_ref[0]                                  # (ws, w, c)
+    w, c = x.shape[1], x.shape[2]
+    wp = nwj * ws
+    if sanitize_hw is not None:
+        i = pl.program_id(1)
+        r = jax.lax.broadcasted_iota(jnp.int32, (ws, w, 1), 0)
+        x = jnp.where(i * ws + r < sanitize_hw[0], x, jnp.zeros_like(x))
+    if wp > w:
+        x = jnp.concatenate(
+            [x, jnp.zeros((ws, wp - w, c), x.dtype)], axis=1)
+    # per-window slice + (ws, ws, C) -> (n, C) reshape (the same relayout
+    # the wsplit block load used); a single 4-D transpose lowers terribly
+    # in Mosaic (measured seconds per call)
+    return jnp.concatenate(
+        [x[:, j * ws:(j + 1) * ws, :].reshape(ws * ws, c)
+         for j in range(nwj)], axis=0)
+
+
+def _store_stripe(o_ref, y, ws: int, nwj: int):
+    """(nwj*ws*ws, C) window-major tokens -> stripe block (1, ws, w, C)."""
+    w, c = o_ref.shape[2], o_ref.shape[3]
+    n = ws * ws
+    cols = jnp.concatenate(
+        [y[j * n:(j + 1) * n].reshape(ws, ws, c) for j in range(nwj)],
+        axis=1)                                   # (ws, nwj*ws, C)
+    o_ref[0] = cols[:, :w]
+
+
+def _attention_grouped(x, refs, num_heads, cos, sin, group: int, nwj: int,
+                       n_valid: int, out_dtype):
+    """_attention over nwj independent windows batched in one (nwj*group, C)
+    token array: ONE QKV / RoPE / O-proj pass, per-window softmax-attention
+    on contiguous row slices. Same VPU-lean formulation as _attention.
+
+    cos/sin: (group, d) shared across windows (full blocks) or
+    (nwj*group, d) per-window tables (compressed blocks), f32, or None."""
+    m, c = x.shape
+    d = c // num_heads
+    qf = jnp.dot(x, refs["wq"][:], preferred_element_type=jnp.float32)
+    qf = qf + refs["bq"][:].astype(jnp.float32)
+    kf = jnp.dot(x, refs["wk"][:], preferred_element_type=jnp.float32)
+    v = jnp.dot(x, refs["wv"][:], preferred_element_type=jnp.float32)
+    v = (v + refs["bv"][:].astype(jnp.float32)).astype(x.dtype)
+
+    if cos is not None:
+        cosf = jnp.concatenate([cos] * num_heads, axis=-1)
+        sinf = jnp.concatenate([sin] * num_heads, axis=-1)
+        if cosf.shape[0] != m:
+            cosf = jnp.concatenate([cosf] * nwj, axis=0)
+            sinf = jnp.concatenate([sinf] * nwj, axis=0)
+        q = (qf * cosf + _rotate_half(qf) * sinf).astype(x.dtype)
+        k = (kf * cosf + _rotate_half(kf) * sinf).astype(x.dtype)
+    else:
+        q = qf.astype(x.dtype)
+        k = kf.astype(x.dtype)
+
+    outs = []
+    for j in range(nwj):
+        sl = slice(j * group, (j + 1) * group)
+        heads = []
+        for hh in range(num_heads):
+            qh = q[sl, hh * d:(hh + 1) * d]
+            kh = k[sl, hh * d:(hh + 1) * d]
+            vh = v[sl, hh * d:(hh + 1) * d]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if n_valid < group:
+                colm = jax.lax.broadcasted_iota(jnp.int32, (group, group), 1)
+                s = jnp.where(colm >= n_valid, jnp.float32(-1e30), s)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p32 = jnp.exp(s - mx)
+            l = jnp.sum(p32, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p32.astype(x.dtype), vh,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            heads.append((pv / l).astype(x.dtype))
+        outs.append(jnp.concatenate(heads, axis=-1))
+    o = jnp.concatenate(outs, axis=0)
+    o = jnp.dot(o, refs["wo"][:], preferred_element_type=jnp.float32)
+    return (o + refs["bo"][:].astype(jnp.float32)).astype(out_dtype)
 
 
 def _full_block_kernel(x_ref, *rest, num_heads, ws, use_rope, mode,
@@ -231,6 +316,28 @@ def _full_block_kernel(x_ref, *rest, num_heads, ws, use_rope, mode,
     _store_window(o_ref, x, mode, ws)
 
 
+def _full_block_stripe_kernel(x_ref, *rest, num_heads, ws, nwj, use_rope,
+                              sanitize_hw=None):
+    """Full block on a (1, ws, w, C) stripe: LN/QKV/RoPE/O-proj/FFN batched
+    over the stripe's nwj windows, attention per window."""
+    wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
+    rest = rest[len(_WEIGHT_NAMES):]
+    if use_rope:
+        cos_ref, sin_ref, o_ref = rest
+        cos = cos_ref[:].astype(jnp.float32)
+        sin = sin_ref[:].astype(jnp.float32)
+    else:
+        (o_ref,) = rest
+        cos = sin = None
+    n = ws * ws
+    x = _stripe_tokens(x_ref, ws, nwj, sanitize_hw)
+    h = _ln(x, wrefs["ln1s"][:], wrefs["ln1b"][:])
+    x = x + _attention_grouped(h, wrefs, num_heads, cos, sin, n, nwj, n,
+                               x.dtype)
+    x = x + _swiglu(_ln(x, wrefs["ln2s"][:], wrefs["ln2b"][:]), wrefs)
+    _store_stripe(o_ref, x, ws, nwj)
+
+
 def _layout_plan(x, ws: int):
     """Choose the kernel input layout.
 
@@ -240,17 +347,22 @@ def _layout_plan(x, ws: int):
       (Pallas masks those stores) and the kernel zeroes the overrun tokens
       (sanitize_hw) — exact zero-pad semantics without per-layer jnp.pad +
       unpad-slice copies.
-    * ws % 8 != 0 (the ws=20 global layers): WSPLIT mode — pad w to a
-      multiple of ws (free at 1600x800 where w_tokens=100), then the
-      zero-copy row-major reshape (B, H, wp, C) -> (B, H, nw, ws, C) puts
-      the window column index on its own dim. Blocks (1, ws, 1, ws, C) are
-      then one window each, assembled by the block DMA (ws strided
-      row-segments) — the window_partition/unpartition HBM transposes
-      (~10 ms/frame at 1600x800 over the ViT-L ws=20 layers) never happen.
-      Legal for any ws: the block's second-to-last dim equals the array
-      dim, which is exempt from Mosaic's %8 rule.
+    * ws % 8 != 0 (the ws=20 global layers): STRIPE mode — blocks
+      (1, ws, W, C) are whole window-rows read straight off the standard
+      row-major layout (the second-to-last block dim equals the array dim,
+      exempt from Mosaic's %8 rule). The kernel splits the stripe into its
+      nwj windows in VMEM and batches LN/QKV/proj/FFN over all of them.
+      This replaced the earlier WSPLIT 5-D reshape trick: XLA lowered that
+      "free" reshape as transpose-copy -> bitcast -> transpose-copy-back,
+      costing four full-feature-map HBM copies (~240 MB, ~0.6 ms) per
+      ws=20 layer at 1600x800; stripe blocks need none.
     * fallback (FORCE_FLAT_LAYOUT, tests): window-partition outside and
       feed flat (W, n, C) blocks.
+
+    Returns (mode, xk, grid, spec, shape, unpack, widx, sanitize_hw, nwj)
+    where nwj = windows covered per grid step (1 except stripe mode) and
+    widx maps grid ids to the linear index of the step's FIRST window in
+    window_partition order.
     """
     from ..window import window_partition
 
@@ -271,28 +383,24 @@ def _layout_plan(x, ws: int):
         def widx(bb, i, j):
             return bb * nh * nw_ + i * nw_ + j
 
-        return ("image", x, grid, spec, shape, unpack, widx, sanitize_hw)
+        return ("image", x, grid, spec, shape, unpack, widx, sanitize_hw, 1)
 
     if not FORCE_FLAT_LAYOUT:
         nh, nw_ = hp // ws, wp // ws
-        if wp > w:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
-        x = x.reshape(b, h, nw_, ws, c)
-        grid = (b, nh, nw_)
-        spec = pl.BlockSpec((1, ws, 1, ws, c),
-                            lambda bb, i, j: (bb, i, j, 0, 0),
+        grid = (b, nh)
+        spec = pl.BlockSpec((1, ws, w, c), lambda bb, i: (bb, i, 0, 0),
                             memory_space=pltpu.VMEM)
-        shape = (b, h, nw_, ws, c)
+        shape = (b, h, w, c)
         sanitize_hw = (h, w) if (hp > h or wp > w) else None
 
         def unpack(out):
-            out = out.reshape(b, h, wp, c)
-            return out[:, :, :w] if wp > w else out
+            return out
 
-        def widx(bb, i, j):
-            return bb * nh * nw_ + i * nw_ + j
+        def widx(bb, i):
+            return (bb * nh + i) * nw_
 
-        return ("wsplit", x, grid, spec, shape, unpack, widx, sanitize_hw)
+        return ("stripe", x, grid, spec, shape, unpack, widx, sanitize_hw,
+                nw_)
 
     xw, padded = window_partition(x, ws)          # (W, ws, ws, C)
     nw = xw.shape[0]
@@ -310,7 +418,7 @@ def _layout_plan(x, ws: int):
     def widx(i):
         return i
 
-    return ("flat", xw, grid, spec, shape, unpack, widx, None)
+    return ("flat", xw, grid, spec, shape, unpack, widx, None, 1)
 
 
 def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
@@ -323,7 +431,8 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
     b, h, w, c = x.shape
     ws = window_size
     n = ws * ws
-    mode, xk, grid, spec, shape, unpack, _, sanitize_hw = _layout_plan(x, ws)
+    (mode, xk, grid, spec, shape, unpack, _, sanitize_hw,
+     nwj) = _layout_plan(x, ws)
     use_rope = rope_tables is not None
     weights = _flatten_params(p, x.dtype, num_heads)
     args = (xk,) + weights
@@ -334,10 +443,16 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
         args = args + (cos, sin)
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
-    kernel = functools.partial(_full_block_kernel, num_heads=num_heads,
-                               ws=ws, use_rope=use_rope, mode=mode,
-                               sanitize_hw=sanitize_hw)
-    nw = 1
+    if mode == "stripe":
+        kernel = functools.partial(_full_block_stripe_kernel,
+                                   num_heads=num_heads, ws=ws, nwj=nwj,
+                                   use_rope=use_rope,
+                                   sanitize_hw=sanitize_hw)
+    else:
+        kernel = functools.partial(_full_block_kernel, num_heads=num_heads,
+                                   ws=ws, use_rope=use_rope, mode=mode,
+                                   sanitize_hw=sanitize_hw)
+    nw = nwj
     for g in grid:
         nw *= g
     hidden = p["mlp"]["w1"]["w"].shape[1]
@@ -402,6 +517,61 @@ def _compressed_block_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
     fast = (x.astype(jnp.float32) + rep_delta) * (1.0 - slow_cols)
     out = (out_slow + fast).astype(x.dtype)
     _store_window(o_ref, out, mode, ws)
+
+
+def _compressed_block_stripe_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
+                                    num_heads, ws, nwj, k_slow, n_valid,
+                                    use_rope, has_rep, sanitize_hw=None):
+    """Compressed block on a (1, ws, w, C) stripe: per-window MXU
+    gather/scatter (G matmuls), LN/QKV/RoPE/O-proj/FFN batched over the
+    stripe's nwj windows' compressed tokens, attention per window."""
+    wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
+    o_ref = rest[len(_WEIGHT_NAMES)]
+    n = ws * ws
+    xt = _stripe_tokens(x_ref, ws, nwj, sanitize_hw)      # (nwj*n, c)
+    g = g_ref[0, 0]                                       # (nwj, k_rows, n)
+    k_rows = g.shape[1]
+
+    ss = []
+    for j in range(nwj):
+        xj = xt[j * n:(j + 1) * n]
+        ss.append(jax.lax.dot_general(
+            g[j], xj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(xt.dtype))
+    s = jnp.concatenate(ss, axis=0)                       # (nwj*k_rows, c)
+
+    if use_rope:
+        d = cos_ref.shape[-1]
+        cos = cos_ref[0, 0].reshape(nwj * k_rows, d).astype(jnp.float32)
+        sin = sin_ref[0, 0].reshape(nwj * k_rows, d).astype(jnp.float32)
+    else:
+        cos = sin = None
+
+    h = _ln(s, wrefs["ln1s"][:], wrefs["ln1b"][:])
+    raw1 = _attention_grouped(h, wrefs, num_heads, cos, sin, k_rows, nwj,
+                              n_valid, s.dtype)
+    s1 = s + raw1
+    raw2 = _swiglu(_ln(s1, wrefs["ln2s"][:], wrefs["ln2b"][:]), wrefs)
+    y = s1 + raw2
+
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (k_rows, n), 0) < k_slow
+    outs = []
+    for j in range(nwj):
+        g_s = jnp.where(rowm, g[j], jnp.zeros_like(g[j]))
+        yj = y[j * k_rows:(j + 1) * k_rows]
+        out_slow = jax.lax.dot_general(g_s, yj, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        slow_cols = jnp.sum(g_s.astype(jnp.float32), axis=0)[:, None]
+        if has_rep:
+            r0 = j * k_rows + k_slow
+            rep_delta = (raw1[r0:r0 + 1, :]
+                         + raw2[r0:r0 + 1, :]).astype(jnp.float32)
+        else:
+            rep_delta = jnp.zeros((1, xt.shape[-1]), jnp.float32)
+        xj = xt[j * n:(j + 1) * n]
+        fast = (xj.astype(jnp.float32) + rep_delta) * (1.0 - slow_cols)
+        outs.append((out_slow + fast).astype(xt.dtype))
+    _store_stripe(o_ref, jnp.concatenate(outs, axis=0), ws, nwj)
 
 
 def _round_up(v, m):
@@ -485,23 +655,45 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
         sin = cos
 
     (mode, xk, grid, spec, shape, unpack, widx,
-     sanitize_hw) = _layout_plan(x, ws)
-    gspec = pl.BlockSpec((1, k_rows, n),
-                         lambda *ids: (widx(*ids), 0, 0),
-                         memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, k_rows, cos.shape[-1]),
-                         lambda *ids: (widx(*ids), 0, 0),
-                         memory_space=pltpu.VMEM)
+     sanitize_hw, nwj) = _layout_plan(x, ws)
+    if mode == "stripe":
+        # one grid step covers a stripe of nwj windows: hand it all their
+        # gather matrices / RoPE tables at once (free leading-dim split)
+        b_, nh_ = grid
+        g = g.reshape(b_, nh_, nwj, k_rows, n)
+        cos = cos.reshape(b_, nh_, nwj, k_rows, cos.shape[-1])
+        sin = sin.reshape(b_, nh_, nwj, k_rows, sin.shape[-1])
+        gspec = pl.BlockSpec((1, 1, nwj, k_rows, n),
+                             lambda bb, i: (bb, i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        tspec = pl.BlockSpec((1, 1, nwj, k_rows, cos.shape[-1]),
+                             lambda bb, i: (bb, i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        gspec = pl.BlockSpec((1, k_rows, n),
+                             lambda *ids: (widx(*ids), 0, 0),
+                             memory_space=pltpu.VMEM)
+        tspec = pl.BlockSpec((1, k_rows, cos.shape[-1]),
+                             lambda *ids: (widx(*ids), 0, 0),
+                             memory_space=pltpu.VMEM)
 
     weights = _flatten_params(p, x.dtype, num_heads)
-    kernel = functools.partial(_compressed_block_kernel, num_heads=num_heads,
-                               ws=ws, k_slow=k, n_valid=n_valid,
-                               use_rope=use_rope, has_rep=has_rep, mode=mode,
-                               sanitize_hw=sanitize_hw)
+    if mode == "stripe":
+        kernel = functools.partial(_compressed_block_stripe_kernel,
+                                   num_heads=num_heads, ws=ws, nwj=nwj,
+                                   k_slow=k, n_valid=n_valid,
+                                   use_rope=use_rope, has_rep=has_rep,
+                                   sanitize_hw=sanitize_hw)
+    else:
+        kernel = functools.partial(_compressed_block_kernel,
+                                   num_heads=num_heads,
+                                   ws=ws, k_slow=k, n_valid=n_valid,
+                                   use_rope=use_rope, has_rep=has_rep,
+                                   mode=mode, sanitize_hw=sanitize_hw)
     hidden = p["mlp"]["w1"]["w"].shape[1]
     flops_w = (8 * k_rows * c * c + 4 * k_rows * k_rows * c
                + 6 * k_rows * c * hidden + 4 * k_rows * n * c)
-    ntot = 1
+    ntot = nwj
     for gdim in grid:
         ntot *= gdim
     out = pl.pallas_call(
