@@ -16,3 +16,17 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the ViT-L Pallas megakernel programs take
+# ~25 min to compile through the axon remote-compile tunnel; with the cache a
+# rerun loads them in seconds (verified working against the axon backend).
+# The 10 s floor keeps thousands of tiny CPU test programs out of the cache.
+# Opt out / redirect with JAX_COMPILATION_CACHE_DIR.
+import os as _os
+
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/toc3d_tpu_xla"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

@@ -185,6 +185,36 @@ def head_step(params, cfg: DetectorConfig, state: DetectorState, feats,
     return DetectorState(memory=new_memory), decoded
 
 
+def _precast_backbone_params(params, cfg: DetectorConfig):
+    """Cast the backbone's weight MATRICES (ndim >= 2, excluding pos_embed)
+    to the compute dtype once, outside the streaming program.
+
+    The block kernels cast weights to the activation dtype in-graph
+    (vit_block._flatten_params); with f32-stored params that cast re-runs
+    every frame — ~1.8 GB/frame of HBM traffic at ViT-L (610 MB of bf16
+    writes + 1.2 GB of f32 reads + operand copies), ~2.5 ms. Pre-cast
+    params make those casts no-ops that XLA elides. Biases and LN params
+    stay f32 (the kernels want them f32); pos_embed stays f32 (bicubic
+    resize math). The cast here is the SAME f32->bf16 rounding the
+    in-graph cast performed, so kernel inputs are bit-identical."""
+    if cfg.compute_dtype != "bfloat16":
+        return params
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if (hasattr(a, "ndim") and a.ndim >= 2
+                and a.dtype == jnp.float32) else a, tree)
+
+    bb = dict(params["img_backbone"])
+    for k in ("blocks", "patch_embed", "score_predictor"):
+        if k in bb:
+            bb[k] = cast(bb[k])
+    out = dict(params)
+    out["img_backbone"] = bb
+    return out
+
+
 def make_infer_fn(cfg: DetectorConfig, mask_seed: int = 0):
     """Build the streaming inference callable as TWO jitted programs
     (backbone+neck, then head+decode).
@@ -210,15 +240,22 @@ def make_infer_fn(cfg: DetectorConfig, mask_seed: int = 0):
     hd = jax.jit(lambda p, s, feats, f: head_step(p, cfg, s, feats, f))
     base = jax.random.PRNGKey(mask_seed)
     counter = [0]
+    precast = jax.jit(lambda p: _precast_backbone_params(p, cfg))
+    cache = {}
 
     def infer(params, state: DetectorState, frame):
+        key = id(params)
+        if key not in cache:
+            cache.clear()                 # params swapped: drop the old cast
+            cache[key] = precast(params)
+        p = cache[key]
         if stochastic:
             k = jax.random.fold_in(base, counter[0])
             counter[0] += 1
-            feats = ex(params, frame["img"], state.memory, frame, k)
+            feats = ex(p, frame["img"], state.memory, frame, k)
         else:
-            feats = ex(params, frame["img"], state.memory, frame)
-        return hd(params, state, feats, frame)
+            feats = ex(p, frame["img"], state.memory, frame)
+        return hd(p, state, feats, frame)
 
     return infer
 

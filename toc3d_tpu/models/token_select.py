@@ -181,10 +181,11 @@ def selector_score(p, cfg: SelectorConfig, tokens_hw, mask, motion_ctx,
     and the token-query attention map (or None).
     """
     bn, h, w, c = tokens_hw.shape
-    x = tokens_hw
-    if cfg.use_mask and mask is not None:
-        x = x * mask.astype(x.dtype)
-    x = x.reshape(bn, h * w, c)
+    use_mask = cfg.use_mask and mask is not None
+    mask_flat = (mask.reshape(bn, h * w, 1).astype(tokens_hw.dtype)
+                 if use_mask else None)
+    x_raw = tokens_hw.reshape(bn, h * w, c)
+    x = x_raw * mask_flat if use_mask else x_raw
 
     queries = get_motion_aware_queries(
         p, cfg, motion_ctx["temp_queries"], motion_ctx["temp_ref_points"],
@@ -200,8 +201,14 @@ def selector_score(p, cfg: SelectorConfig, tokens_hw, mask, motion_ctx,
     # in steady-state streaming every lane has pe=1 and the blend returns
     # q_score exactly, so skip the 30k-token MLP at runtime via lax.cond
     # (the reference python-branches on the same flag, toc3d_utils.py:262).
+    # Operands are the RAW token buffer + the small mask, NOT the masked
+    # product: a cond operand must materialize, and handing it x*mask cost
+    # a full-feature-map fused multiply-write (~60 MB x 2/selector) every
+    # steady-state frame — the mask multiply now lives inside the
+    # first-frame branch (for q_score it fuses into the input_proj matmul).
     def _with_mlp(arg):
-        x_, q_ = arg
+        x_raw_, mask_, q_ = arg
+        x_ = x_raw_ * mask_ if use_mask else x_raw_
         mlp_score = score_mlp_forward(p["score_mlp"], x_)      # (BN, N, 2)
         if train_blend:
             # reference train-time blend keeps only channel 0 of the mlp
@@ -213,11 +220,12 @@ def selector_score(p, cfg: SelectorConfig, tokens_hw, mask, motion_ctx,
         return mlp_score * (1.0 - pe) + q_ * pe
 
     def _steady(arg):
-        _, q_ = arg
-        return q_
+        return arg[2]
 
+    operand = (x_raw, mask_flat if use_mask else jnp.ones((), x_raw.dtype),
+               q_score)
     pred = jax.lax.cond(jnp.all(prev_exists > 0), _steady, _with_mlp,
-                        (x, q_score))
+                        operand)
     return pred[..., 0], pred, attn
 
 

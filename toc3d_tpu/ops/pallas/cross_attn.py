@@ -59,13 +59,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    # column validity: kv padding exists only when K % block_k != 0, and the
-    # where() is cheap enough to apply on every block in that case
+    # column validity: the last kv block OVERRUNS the unpadded (B, K, C)
+    # array when K % block_k != 0 (Pallas drops the OOB stores; OOB loads
+    # are unspecified). Garbage k columns are neutralized by the NEG_INF
+    # mask on s below; garbage v rows must be zeroed explicitly — exp()
+    # of a masked logit is exactly 0.0, but 0 * NaN-garbage would still
+    # poison the p @ v accumulation.
     pad_any = kv_len % block_k != 0
 
     q = q_ref[0]                                     # (Qp, C), pre-scaled
     k = k_ref[0]                                     # (bk, C)
     v = v_ref[0]
+    if pad_any:
+        vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + j * block_k
+        v = jnp.where(vrow >= kv_len, jnp.zeros_like(v), v)
     acc = acc_ref[...]                               # (Qp, C) f32
     new_acc, new_l = [], []
     for h in range(num_heads):
@@ -128,9 +135,9 @@ def flash_attention_core(q, k, v, num_heads: int, block_k: int = 0,
     kvp = _round_up(kv, block_k)
     if qp > nq:
         q = jnp.pad(q, ((0, 0), (0, qp - nq), (0, 0)))
-    if kvp > kv:
-        k = jnp.pad(k, ((0, 0), (0, kvp - kv), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, kvp - kv), (0, 0)))
+    # k/v are NOT padded: the last kv block overruns the array and the
+    # kernel masks/zeroes the overrun (the pads cost ~0.45 ms/frame across
+    # the 6 decoder layers at 1600x800 — 12 x 15.7 MB HBM rewrites)
 
     grid = (b, kvp // block_k)
     kernel = functools.partial(_flash_kernel, num_heads=num_heads,

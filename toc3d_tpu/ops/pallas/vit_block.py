@@ -480,6 +480,26 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
 # token-compressed (ToC3D accelerated) block
 # ---------------------------------------------------------------------------
 
+def _rope_rows(g_slow, cos_t, sin_t, k_slow: int, has_rep: bool):
+    """Per-compressed-row RoPE tables gathered ON the MXU: the slow rows of
+    the gather matrix are already one-hot, and the representative row reads
+    table row k_slow (the XLA path's rep_idx, toc3d_vit gather). Padding
+    rows get zero tables (they are softmax-column-masked and
+    scatter-dropped, so their rope values never matter)."""
+    k_rows, n = g_slow.shape
+    sel = g_slow.astype(jnp.float32)
+    if has_rep:
+        row = jax.lax.broadcasted_iota(jnp.int32, (k_rows, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (k_rows, n), 1)
+        sel = sel + jnp.where((row == k_slow) & (col == k_slow),
+                              jnp.float32(1.0), jnp.float32(0.0))
+    cos = jax.lax.dot_general(sel, cos_t, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    sin = jax.lax.dot_general(sel, sin_t, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return cos, sin
+
+
 def _compressed_block_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
                              num_heads, ws, k_slow, n_valid, use_rope,
                              has_rep, mode, sanitize_hw=None):
@@ -493,8 +513,14 @@ def _compressed_block_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
 
     s = jax.lax.dot_general(g, x, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32).astype(x.dtype)
-    cos = cos_ref[0].astype(jnp.float32) if use_rope else None
-    sin = sin_ref[0].astype(jnp.float32) if use_rope else None
+    if use_rope:
+        rowm0 = jax.lax.broadcasted_iota(jnp.int32, (k_rows, n), 0) < k_slow
+        g_slow = jnp.where(rowm0, g, jnp.zeros_like(g))
+        cos, sin = _rope_rows(g_slow, cos_t=cos_ref[:].astype(jnp.float32),
+                              sin_t=sin_ref[:].astype(jnp.float32),
+                              k_slow=k_slow, has_rep=has_rep)
+    else:
+        cos = sin = None
 
     h = _ln(s, wrefs["ln1s"][:], wrefs["ln1b"][:])
     raw1 = _attention(h, wrefs, num_heads, cos, sin, n_valid, s.dtype)
@@ -532,18 +558,24 @@ def _compressed_block_stripe_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
     g = g_ref[0, 0]                                       # (nwj, k_rows, n)
     k_rows = g.shape[1]
 
-    ss = []
+    rowm0 = jax.lax.broadcasted_iota(jnp.int32, (k_rows, n), 0) < k_slow
+    ss, coss, sins = [], [], []
     for j in range(nwj):
         xj = xt[j * n:(j + 1) * n]
         ss.append(jax.lax.dot_general(
             g[j], xj, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(xt.dtype))
+        if use_rope:
+            g_slow = jnp.where(rowm0, g[j], jnp.zeros_like(g[j]))
+            cj, sj = _rope_rows(g_slow, cos_t=cos_ref[:].astype(jnp.float32),
+                                sin_t=sin_ref[:].astype(jnp.float32),
+                                k_slow=k_slow, has_rep=has_rep)
+            coss.append(cj)
+            sins.append(sj)
     s = jnp.concatenate(ss, axis=0)                       # (nwj*k_rows, c)
-
     if use_rope:
-        d = cos_ref.shape[-1]
-        cos = cos_ref[0, 0].reshape(nwj * k_rows, d).astype(jnp.float32)
-        sin = sin_ref[0, 0].reshape(nwj * k_rows, d).astype(jnp.float32)
+        cos = jnp.concatenate(coss, axis=0)
+        sin = jnp.concatenate(sins, axis=0)
     else:
         cos = sin = None
 
@@ -635,45 +667,33 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
                             has_rep, x.dtype)
 
     use_rope = rope_tables is not None and rope_acc
+    d = c // num_heads
     if use_rope:
-        cos_t = jnp.asarray(rope_tables[0])
-        sin_t = jnp.asarray(rope_tables[1])
-        if has_rep:
-            rep_idx = jnp.full((nw, 1), k, dtype=slow_idx.dtype)
-            sel = jnp.concatenate([slow_idx, rep_idx], axis=-1)
-        else:
-            sel = slow_idx
-        pad_rows = k_rows - sel.shape[-1]
-        if pad_rows:
-            sel = jnp.concatenate(
-                [sel, jnp.zeros((nw, pad_rows), sel.dtype)], axis=-1)
-        cos = jnp.take(cos_t, sel, axis=0)      # (W, k_rows, d)
-        sin = jnp.take(sin_t, sel, axis=0)
+        # full (n, d) tables; the kernel gathers the per-row tables on the
+        # MXU from the one-hot rows it already holds in G (_rope_rows) —
+        # the XLA jnp.take gathers here cost ~0.7 ms each at 1600x800 and
+        # their (W, k_rows, d) f32 results another HBM round trip
+        cos = jnp.asarray(rope_tables[0])[:n].astype(jnp.float32)
+        sin = jnp.asarray(rope_tables[1])[:n].astype(jnp.float32)
     else:
-        d = c // num_heads
-        cos = jnp.zeros((nw, k_rows, d), jnp.float32)
+        cos = jnp.zeros((n, d), jnp.float32)
         sin = cos
 
     (mode, xk, grid, spec, shape, unpack, widx,
      sanitize_hw, nwj) = _layout_plan(x, ws)
+    # RoPE tables are whole-array constants across the grid (gathered
+    # in-kernel per window from G's one-hot rows)
+    tspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     if mode == "stripe":
         # one grid step covers a stripe of nwj windows: hand it all their
-        # gather matrices / RoPE tables at once (free leading-dim split)
+        # gather matrices at once (free leading-dim split)
         b_, nh_ = grid
         g = g.reshape(b_, nh_, nwj, k_rows, n)
-        cos = cos.reshape(b_, nh_, nwj, k_rows, cos.shape[-1])
-        sin = sin.reshape(b_, nh_, nwj, k_rows, sin.shape[-1])
         gspec = pl.BlockSpec((1, 1, nwj, k_rows, n),
-                             lambda bb, i: (bb, i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
-        tspec = pl.BlockSpec((1, 1, nwj, k_rows, cos.shape[-1]),
                              lambda bb, i: (bb, i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     else:
         gspec = pl.BlockSpec((1, k_rows, n),
-                             lambda *ids: (widx(*ids), 0, 0),
-                             memory_space=pltpu.VMEM)
-        tspec = pl.BlockSpec((1, k_rows, cos.shape[-1]),
                              lambda *ids: (widx(*ids), 0, 0),
                              memory_space=pltpu.VMEM)
 
