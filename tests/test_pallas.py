@@ -256,3 +256,51 @@ def test_fused_blocks_sanitize_path_matches_xla():
                                      interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_fused_blocks_ws8_stripe_matches_xla(monkeypatch):
+    """STRIPE_WS8_* routes ws%8==0 layers through the stripe kernels
+    (whole window-rows per grid step, matmuls batched over nwj windows).
+    Must be bit-compatible with the image-layout path's semantics: pin
+    parity vs the XLA blocks on non-multiple h/w (sanitize + width pad)."""
+    import toc3d_tpu.ops.pallas.vit_block as vb
+    from toc3d_tpu.models.eva_vit import block_forward, EVAViTConfig
+    from toc3d_tpu.models.toc3d_vit import (toc3d_block_forward,
+                                            ToC3DViTConfig)
+
+    monkeypatch.setattr(vb, "STRIPE_WS8_FULL", True)
+    monkeypatch.setattr(vb, "STRIPE_WS8_COMPRESSED", True)
+    rng = np.random.RandomState(11)
+    b, h, w, c, heads, ws = 2, 10, 20, 32, 2, 8
+    assert ws % 8 == 0 and h % ws and w % ws  # sanitize + width-pad path
+    cfg = EVAViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                       window_size=ws)
+    p = _block_params(jax.random.PRNGKey(6), c, 64)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    tables = build_rope_table(c // heads // 2, ws, ws)
+
+    for t in (tables, None):
+        ref = block_forward(p, x, cfg, ws, t)
+        out = vb.fused_full_block(p, x, heads, ws, t, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
+    for use_rep in (True, False):
+        tcfg = ToC3DViTConfig(
+            embed_dim=c, num_heads=heads, mlp_ratio=2.0, window_size=ws,
+            pruning_loc=(0,), token_ratio=(0.5,), global_attn_indexes=(9,),
+            use_represent_tokens=use_rep, rope_acc=True)
+        ref = toc3d_block_forward(p, x, scores, tcfg, ws, 0.5, tables)
+        out = vb.fused_compressed_block(p, x, scores, heads, ws, 0.5,
+                                        tables, use_represent=use_rep,
+                                        rope_acc=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    # multiple-of-ws dims too (no sanitize): exact-cover stripe
+    x3 = x[:, :8, :16]
+    ref3 = block_forward(p, x3, cfg, ws, tables)
+    out3 = vb.fused_full_block(p, x3, heads, ws, tables, interpret=True)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                               atol=2e-5, rtol=2e-5)

@@ -41,6 +41,16 @@ from ..window import pad_hw
 LN_EPS = 1e-6
 # tests flip this to exercise the flat window-partition fallback layout
 FORCE_FLAT_LAYOUT = False
+# Route ws%8==0 layers through STRIPE mode too (blocks = whole window-rows,
+# LN/QKV/proj/FFN batched over the row's nwj windows). Image mode runs one
+# window per grid step — M=80..256 rows per matmul; stripe raises M by nwj
+# (7x at 1600x800), amortizing weight stationarity and MXU tiling. Set per
+# kernel family from measurements (tools/profile_backbone.py); env overrides
+# for A/B profiling.
+import os as _os
+STRIPE_WS8_FULL = _os.environ.get("TOC3D_STRIPE_WS8_FULL", "0") == "1"
+STRIPE_WS8_COMPRESSED = (
+    _os.environ.get("TOC3D_STRIPE_WS8_COMPRESSED", "0") == "1")
 
 
 def _ln(x, scale, bias, eps=LN_EPS):
@@ -338,7 +348,7 @@ def _full_block_stripe_kernel(x_ref, *rest, num_heads, ws, nwj, use_rope,
     _store_stripe(o_ref, x, ws, nwj)
 
 
-def _layout_plan(x, ws: int):
+def _layout_plan(x, ws: int, prefer_stripe: bool = False):
     """Choose the kernel input layout.
 
     * ws % 8 == 0: image-layout blocks (1, ws, ws, C) straight on the
@@ -369,7 +379,7 @@ def _layout_plan(x, ws: int):
     b, h, w, c = x.shape
     hp, wp = pad_hw(h, w, ws)
     n = ws * ws
-    if ws % 8 == 0 and not FORCE_FLAT_LAYOUT:
+    if ws % 8 == 0 and not FORCE_FLAT_LAYOUT and not prefer_stripe:
         nh, nw_ = hp // ws, wp // ws
         grid = (b, nh, nw_)
         spec = pl.BlockSpec((1, ws, ws, c), lambda bb, i, j: (bb, i, j, 0),
@@ -432,7 +442,7 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
     ws = window_size
     n = ws * ws
     (mode, xk, grid, spec, shape, unpack, _, sanitize_hw,
-     nwj) = _layout_plan(x, ws)
+     nwj) = _layout_plan(x, ws, prefer_stripe=STRIPE_WS8_FULL)
     use_rope = rope_tables is not None
     weights = _flatten_params(p, x.dtype, num_heads)
     args = (xk,) + weights
@@ -680,7 +690,8 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
         sin = cos
 
     (mode, xk, grid, spec, shape, unpack, widx,
-     sanitize_hw, nwj) = _layout_plan(x, ws)
+     sanitize_hw, nwj) = _layout_plan(x, ws,
+                                      prefer_stripe=STRIPE_WS8_COMPRESSED)
     # RoPE tables are whole-array constants across the grid (gathered
     # in-kernel per window from G's one-hot rows)
     tspec = pl.BlockSpec(memory_space=pltpu.VMEM)
