@@ -128,8 +128,11 @@ def flash_attention_core(q, k, v, num_heads: int, block_k: int = 0,
     b, nq, c = q.shape
     kv = k.shape[1]
     assert c % num_heads == 0
+    # q-row padding: sublane multiple only (block dim == array dim is exempt
+    # from tighter Mosaic tiling rules; measured equal-or-better than the
+    # earlier 128-multiple rounding, which cost 14% dead rows at Q=900)
     sub = 16 if q.dtype == jnp.bfloat16 else 8
-    qp = _round_up(nq, max(sub, 128) if nq >= 512 else sub)
+    qp = _round_up(nq, sub)
     if not block_k:
         block_k = _pick_block_k(kv)
     kvp = _round_up(kv, block_k)
