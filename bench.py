@@ -10,6 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import argparse
 import json
+import os
 import subprocess
 import sys
 import time
@@ -187,8 +188,16 @@ def run_sweep(args):
             lines.append(
                 f"| {name} | {a100:.1f}{a100_pct} | {rec['value']:.2f} | "
                 f"{ms:.1f}{pct} | {rec['value'] / (1000.0 / a100):.2f}x |")
+    # keep hand-written analysis sections ("## ..." onwards) across reruns
+    tail = ""
+    if os.path.exists("PERF.md"):
+        with open("PERF.md") as f:
+            old = f.read()
+        i = old.find("\n## ")
+        if i >= 0:
+            tail = "\n" + old[i + 1:]
     with open("PERF.md", "w") as f:
-        f.write("\n".join(lines).rstrip() + "\n")
+        f.write("\n".join(lines).rstrip() + "\n" + tail)
     print(json.dumps({"metric": "sweep", "value": len(results),
                       "unit": "configs", "vs_baseline": None}))
 
