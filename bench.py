@@ -216,6 +216,12 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="bench every baseline/fast/faster family and "
                          "write PERF.md (compression-payoff table)")
+    ap.add_argument("--int8", action="store_true",
+                    help="experimental int8 serving path: per-channel int8 "
+                         "weights + dynamic per-row activation quantization "
+                         "inside the fused backbone kernels (v5e MXU int8 "
+                         "rate). Accuracy bounded by tests on synthetic "
+                         "weights, unvalidated vs released checkpoints.")
     args = ap.parse_args()
 
     if args.sweep:
@@ -226,6 +232,12 @@ def main():
     from toc3d_tpu.models.detector import init_detector, init_state, make_infer_fn
 
     cfg = get_config(args.config)
+    label = args.config
+    if args.int8:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, quant="int8"))
+        label += "+int8"
     if args.train:
         return bench_train(cfg, args)
     h, w = cfg.pad_shape
@@ -276,7 +288,7 @@ def main():
     ref_fps = 1000.0 / A100_PIPELINE_MS.get(args.config,
                                             A100_PIPELINE_MS["ToC3D_faster_1600"])
     print(json.dumps({
-        "metric": f"{args.config} 6-view frames/sec/chip",
+        "metric": f"{label} 6-view frames/sec/chip",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / ref_fps, 4),

@@ -304,3 +304,55 @@ def test_fused_blocks_ws8_stripe_matches_xla(monkeypatch):
     out3 = vb.fused_full_block(p, x3, heads, ws, tables, interpret=True)
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_int8_quantized_blocks_close_to_float():
+    """Serving int8 path: quantize_block_params (per-output-channel weights)
+    + in-kernel dynamic per-row activation quantization must track the f32
+    XLA path within int8 error bounds, in every kernel layout (image ws=8,
+    stripe ws=4), full + compressed. Also pins the XLA-path guard on
+    quantized params."""
+    from toc3d_tpu.ops.pallas.vit_block import (
+        fused_full_block, fused_compressed_block, quantize_block_params,
+        is_quantized)
+    from toc3d_tpu.models.eva_vit import block_forward, EVAViTConfig
+    from toc3d_tpu.models.toc3d_vit import (toc3d_block_forward,
+                                            ToC3DViTConfig)
+
+    rng = np.random.RandomState(11)
+    b, c, heads = 2, 32, 2
+    p = _block_params(jax.random.PRNGKey(6), c, 64)
+    pq = quantize_block_params(p, heads)
+    assert is_quantized(pq) and not is_quantized(p)
+    assert pq["attn"]["q_proj"]["w"].dtype == jnp.int8
+
+    def err(a, r):
+        a, r = np.asarray(a, np.float64), np.asarray(r, np.float64)
+        return np.mean(np.abs(a - r)) / (np.mean(np.abs(r)) + 1e-9)
+
+    for ws, (h, w) in ((8, (10, 12)), (4, (8, 12))):
+        cfg = EVAViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                           window_size=ws)
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        tables = build_rope_table(c // heads // 2, ws, ws)
+        ref = block_forward(p, x, cfg, ws, tables)
+        out = fused_full_block(pq, x, heads, ws, tables, interpret=True)
+        assert err(out, ref) < 0.02, (ws, err(out, ref))
+
+        scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
+        tcfg = ToC3DViTConfig(
+            embed_dim=c, num_heads=heads, mlp_ratio=2.0, window_size=ws,
+            pruning_loc=(0,), token_ratio=(0.5,), global_attn_indexes=(9,),
+            use_represent_tokens=True, rope_acc=True)
+        ref2 = toc3d_block_forward(p, x, scores, tcfg, ws, 0.5, tables)
+        out2 = fused_compressed_block(pq, x, scores, heads, ws, 0.5, tables,
+                                      use_represent=True, rope_acc=True,
+                                      interpret=True)
+        assert err(out2, ref2) < 0.02, (ws, err(out2, ref2))
+
+    # quantized params must never silently run through the XLA block path
+    cfg = EVAViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                       window_size=8)
+    x = jnp.asarray(rng.randn(b, 8, 8, c).astype(np.float32))
+    with pytest.raises(ValueError, match="int8-quantized"):
+        block_forward(pq, x, cfg, 8, None)

@@ -210,6 +210,15 @@ def _precast_backbone_params(params, cfg: DetectorConfig):
     for k in ("blocks", "patch_embed", "score_predictor"):
         if k in bb:
             bb[k] = cast(bb[k])
+    if getattr(cfg.backbone, "quant", "none") == "int8":
+        # serving int8: per-output-channel weight quantization of every
+        # block's seven weight matmuls, done here ONCE so the streaming
+        # program only reads int8 weights + f32 scale rows (the in-kernel
+        # activation quantization is dynamic per row). Only meaningful with
+        # the fused kernels — the XLA block path raises on quantized params.
+        from ..ops.pallas.vit_block import quantize_block_params
+        bb["blocks"] = [quantize_block_params(blk, cfg.backbone.num_heads)
+                        for blk in bb["blocks"]]
     out = dict(params)
     out["img_backbone"] = bb
     return out

@@ -58,6 +58,13 @@ class EVAViTConfig:
     # one Pallas megakernel (ops/pallas/vit_block.py) — inference on TPU
     # only; CPU and training (rng given) keep the XLA path
     fused_blocks: bool = False
+    # 'int8': serving-only dynamic-activation int8 path inside the fused
+    # kernels (weights per-output-channel int8, activations per-row; v5e MXU
+    # int8 is ~1.76x the bf16 rate at these shapes). Quantization happens
+    # once in detector._precast_backbone_params; requires fused_blocks.
+    # Experimental: accuracy vs the bf16 path is bounded by tests on synthetic
+    # weights but unvalidated against released checkpoints (no data on image).
+    quant: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -260,6 +267,12 @@ def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables,
 
 def _block_forward_xla(p, x, cfg: EVAViTConfig, window_size: int,
                        rope_tables, dp_rate: float = 0.0, rng=None):
+    if "w_scale" in p["attn"]["q_proj"]:
+        raise ValueError(
+            "int8-quantized block params reached the XLA block path — the "
+            "int8 serving path lives in the fused kernels only "
+            "(EVAViTConfig.quant='int8' requires fused_blocks on a TPU "
+            "backend); re-init or keep the float params for this path")
     b, h, w, c = x.shape
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=LN_EPS)

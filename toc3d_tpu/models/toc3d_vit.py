@@ -111,6 +111,12 @@ def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
     Mirrors ToC3DEVAViTBlock.forward accelerate path
     (toc3d_eva_vit.py:395-473).
     """
+    if "w_scale" in p["attn"]["q_proj"]:
+        raise ValueError(
+            "int8-quantized block params reached the XLA block path — the "
+            "int8 serving path lives in the fused kernels only "
+            "(ToC3DViTConfig.quant='int8' requires fused_blocks on a TPU "
+            "backend); re-init or keep the float params for this path")
     bn, h, w, c = x.shape
     xw, padded = window_partition(x, window_size)                # (BNw, ws, ws, C)
     sw, _ = window_partition(scores.reshape(bn, h, w, 1), window_size,

@@ -94,11 +94,20 @@ def _attention(x, refs, num_heads, cos, sin, n_valid, out_dtype):
     """
     n, c = x.shape
     d = c // num_heads
-    qf = jnp.dot(x, refs["wq"][:], preferred_element_type=jnp.float32)
-    qf = qf + refs["bq"][:].astype(jnp.float32)
-    kf = jnp.dot(x, refs["wk"][:], preferred_element_type=jnp.float32)
-    v = jnp.dot(x, refs["wv"][:], preferred_element_type=jnp.float32)
-    v = (v + refs["bv"][:].astype(jnp.float32)).astype(x.dtype)
+    quant = "sq" in refs
+    if quant:
+        hq, hs = _rowquant(x)
+        qf = _qmm(hq, hs, refs["wq"], refs["sq"])
+        qf = qf + refs["bq"][:].astype(jnp.float32)
+        kf = _qmm(hq, hs, refs["wk"], refs["sk"])
+        v = _qmm(hq, hs, refs["wv"], refs["sv"])
+        v = (v + refs["bv"][:].astype(jnp.float32)).astype(x.dtype)
+    else:
+        qf = jnp.dot(x, refs["wq"][:], preferred_element_type=jnp.float32)
+        qf = qf + refs["bq"][:].astype(jnp.float32)
+        kf = jnp.dot(x, refs["wk"][:], preferred_element_type=jnp.float32)
+        v = jnp.dot(x, refs["wv"][:], preferred_element_type=jnp.float32)
+        v = (v + refs["bv"][:].astype(jnp.float32)).astype(x.dtype)
 
     if cos is not None:
         cosf = jnp.concatenate([cos] * num_heads, axis=-1)
@@ -127,56 +136,150 @@ def _attention(x, refs, num_heads, cos, sin, n_valid, out_dtype):
                                  preferred_element_type=jnp.float32)
         heads.append((pv / l).astype(x.dtype))
     o = jnp.concatenate(heads, axis=-1)
-    o = jnp.dot(o, refs["wo"][:], preferred_element_type=jnp.float32)
+    if quant:
+        oq, osc = _rowquant(o)
+        o = _qmm(oq, osc, refs["wo"], refs["so"])
+    else:
+        o = jnp.dot(o, refs["wo"][:], preferred_element_type=jnp.float32)
     return (o + refs["bo"][:].astype(jnp.float32)).astype(out_dtype)
 
 
 def _swiglu(x, refs):
     """SwiGLU with sub-LN on (n, C): silu(x@w1+b1) * (x@w2+b2) -> ffn_ln ->
     @w3+b3 (layers.swiglu parity)."""
-    x1 = jnp.dot(x, refs["w1"][:], preferred_element_type=jnp.float32)
+    quant = "s1" in refs
+    if quant:
+        xq, xs = _rowquant(x)
+        x1 = _qmm(xq, xs, refs["w1"], refs["s1"])
+        x2 = _qmm(xq, xs, refs["w2"], refs["s2"])
+    else:
+        x1 = jnp.dot(x, refs["w1"][:], preferred_element_type=jnp.float32)
+        x2 = jnp.dot(x, refs["w2"][:], preferred_element_type=jnp.float32)
     x1 = (x1 + refs["b1"][:].astype(jnp.float32)).astype(x.dtype)
-    x2 = jnp.dot(x, refs["w2"][:], preferred_element_type=jnp.float32)
     x2 = (x2 + refs["b2"][:].astype(jnp.float32)).astype(x.dtype)
     # silu in f32: Mosaic rejects the bf16 silu lowering (f32 scalar
     # broadcast into a bf16 vector)
     x1f = x1.astype(jnp.float32)
     hidden = ((x1f * jax.nn.sigmoid(x1f)).astype(x.dtype) * x2)
     hidden = _ln(hidden, refs["fls"][:], refs["flb"][:])
-    y = jnp.dot(hidden, refs["w3"][:], preferred_element_type=jnp.float32)
+    if quant:
+        hq, hs = _rowquant(hidden)
+        y = _qmm(hq, hs, refs["w3"], refs["s3"])
+    else:
+        y = jnp.dot(hidden, refs["w3"][:], preferred_element_type=jnp.float32)
     return (y + refs["b3"][:].astype(jnp.float32)).astype(x.dtype)
 
 
 _WEIGHT_NAMES = ("ln1s", "ln1b", "wq", "bq", "wk", "wv", "bv", "wo", "bo",
                  "ln2s", "ln2b", "w1", "b1", "w2", "b2", "fls", "flb",
                  "w3", "b3")
+# per-output-channel dequant scales, present only on int8-quantized params
+_QSCALE_NAMES = ("sq", "sk", "sv", "so", "s1", "s2", "s3")
+
+
+def is_quantized(p) -> bool:
+    """True if quantize_block_params already ran on this block's params."""
+    return "w_scale" in p["attn"]["q_proj"]
+
+
+def quantize_block_params(p, num_heads: int):
+    """Symmetric per-output-channel int8 quantization of the block's seven
+    weight matrices (QKV/O-proj and the three SwiGLU matmuls) for the
+    serving int8 kernel path: w -> int8, plus a 'w_scale' f32 (out,) row.
+
+    The attention d**-0.5 scale is folded into q_proj's weight BEFORE
+    quantization (the bf16 path folds it in _flatten_params); biases and LN
+    params are untouched (they stay f32 in-kernel). Run ONCE outside the
+    streaming program (detector._precast_backbone_params) — in-graph it
+    would re-quantize every frame."""
+    def q(d, pre_scale=1.0):
+        w = d["w"].astype(jnp.float32) * pre_scale
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        out = dict(d)
+        out["w"] = wq
+        out["w_scale"] = s
+        return out
+
+    a = dict(p["attn"])
+    m = dict(p["mlp"])
+    scale = (a["q_proj"]["w"].shape[1] // num_heads) ** -0.5
+    a["q_proj"] = q(a["q_proj"], scale)
+    a["k_proj"] = q(a["k_proj"])
+    a["v_proj"] = q(a["v_proj"])
+    a["proj"] = q(a["proj"])
+    m["w1"] = q(m["w1"])
+    m["w2"] = q(m["w2"])
+    m["w3"] = q(m["w3"])
+    out = dict(p)
+    out["attn"] = a
+    out["mlp"] = m
+    return out
+
+
+def _rowquant(x):
+    """Dynamic symmetric per-row int8 activation quantization.
+
+    x: (m, k) any float dtype -> (int8 (m, k), f32 (m, 1) dequant scale)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(x32 * (127.0 / jnp.maximum(amax, 1e-6))),
+                  -127.0, 127.0).astype(jnp.int8)
+    return xq, s
+
+
+def _qmm(xq, xs, w_ref, s_ref):
+    """int8 x int8 -> int32 MXU dot, dequantized to f32: (xq @ w) * xs * s.
+
+    Measured on v5e at the megakernel's shapes (M=144, K=N=1024): 266 TOP/s
+    sustained including the rowquant + rescale VPU work vs 193 TFLOP/s for
+    the bf16 dot — 1.38x per weight matmul."""
+    y = jnp.dot(xq, w_ref[:], preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (xs * s_ref[:].astype(jnp.float32))
 
 
 def _flatten_params(p, dtype, num_heads):
-    """Block param pytree -> flat tuple in _WEIGHT_NAMES order. Weights cast
-    to the compute dtype; LN params stay f32 (stats are f32 in-kernel). The
-    attention scale d**-0.5 is folded into wq/bq (see _attention)."""
+    """Block param pytree -> flat tuple in _WEIGHT_NAMES (+ _QSCALE_NAMES
+    when int8-quantized) order. Weights cast to the compute dtype (already
+    int8 after quantize_block_params); LN params stay f32 (stats are f32
+    in-kernel). The attention scale d**-0.5 is folded into wq/bq (see
+    _attention); for quantized params the wq fold already happened in
+    quantize_block_params, the bq fold still happens here."""
     a = p["attn"]
     m = p["mlp"]
     f32 = jnp.float32
+    quant = is_quantized(p)
     scale = jnp.float32((a["q_proj"]["w"].shape[1] // num_heads) ** -0.5)
-    return (
+    wcast = (lambda w: w) if quant else (lambda w: w.astype(dtype))
+    wq = a["q_proj"]["w"] if quant else a["q_proj"]["w"] * scale
+    flat = (
         p["norm1"]["scale"].astype(f32), p["norm1"]["bias"].astype(f32),
-        (a["q_proj"]["w"] * scale).astype(dtype),
+        wcast(wq),
         (a["q_proj"]["b"] * scale).astype(f32),
-        a["k_proj"]["w"].astype(dtype),
-        a["v_proj"]["w"].astype(dtype), a["v_proj"]["b"].astype(f32),
-        a["proj"]["w"].astype(dtype), a["proj"]["b"].astype(f32),
+        wcast(a["k_proj"]["w"]),
+        wcast(a["v_proj"]["w"]), a["v_proj"]["b"].astype(f32),
+        wcast(a["proj"]["w"]), a["proj"]["b"].astype(f32),
         p["norm2"]["scale"].astype(f32), p["norm2"]["bias"].astype(f32),
-        m["w1"]["w"].astype(dtype), m["w1"]["b"].astype(f32),
-        m["w2"]["w"].astype(dtype), m["w2"]["b"].astype(f32),
+        wcast(m["w1"]["w"]), m["w1"]["b"].astype(f32),
+        wcast(m["w2"]["w"]), m["w2"]["b"].astype(f32),
         m["ffn_ln"]["scale"].astype(f32), m["ffn_ln"]["bias"].astype(f32),
-        m["w3"]["w"].astype(dtype), m["w3"]["b"].astype(f32),
+        wcast(m["w3"]["w"]), m["w3"]["b"].astype(f32),
     )
+    if quant:
+        flat = flat + tuple(
+            d["w_scale"].astype(f32)
+            for d in (a["q_proj"], a["k_proj"], a["v_proj"], a["proj"],
+                      m["w1"], m["w2"], m["w3"]))
+    return flat
 
 
-def _weight_specs():
-    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _WEIGHT_NAMES]
+def _names(quant: bool):
+    return _WEIGHT_NAMES + (_QSCALE_NAMES if quant else ())
+
+
+def _weight_specs(quant: bool = False):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _names(quant)]
 
 
 # ---------------------------------------------------------------------------
@@ -263,11 +366,20 @@ def _attention_grouped(x, refs, num_heads, cos, sin, group: int, nwj: int,
     (nwj*group, d) per-window tables (compressed blocks), f32, or None."""
     m, c = x.shape
     d = c // num_heads
-    qf = jnp.dot(x, refs["wq"][:], preferred_element_type=jnp.float32)
-    qf = qf + refs["bq"][:].astype(jnp.float32)
-    kf = jnp.dot(x, refs["wk"][:], preferred_element_type=jnp.float32)
-    v = jnp.dot(x, refs["wv"][:], preferred_element_type=jnp.float32)
-    v = (v + refs["bv"][:].astype(jnp.float32)).astype(x.dtype)
+    quant = "sq" in refs
+    if quant:
+        hq, hs = _rowquant(x)
+        qf = _qmm(hq, hs, refs["wq"], refs["sq"])
+        qf = qf + refs["bq"][:].astype(jnp.float32)
+        kf = _qmm(hq, hs, refs["wk"], refs["sk"])
+        v = _qmm(hq, hs, refs["wv"], refs["sv"])
+        v = (v + refs["bv"][:].astype(jnp.float32)).astype(x.dtype)
+    else:
+        qf = jnp.dot(x, refs["wq"][:], preferred_element_type=jnp.float32)
+        qf = qf + refs["bq"][:].astype(jnp.float32)
+        kf = jnp.dot(x, refs["wk"][:], preferred_element_type=jnp.float32)
+        v = jnp.dot(x, refs["wv"][:], preferred_element_type=jnp.float32)
+        v = (v + refs["bv"][:].astype(jnp.float32)).astype(x.dtype)
 
     if cos is not None:
         cosf = jnp.concatenate([cos] * num_heads, axis=-1)
@@ -303,14 +415,19 @@ def _attention_grouped(x, refs, num_heads, cos, sin, group: int, nwj: int,
             heads.append((pv / l).astype(x.dtype))
         outs.append(jnp.concatenate(heads, axis=-1))
     o = jnp.concatenate(outs, axis=0)
-    o = jnp.dot(o, refs["wo"][:], preferred_element_type=jnp.float32)
+    if quant:
+        oq, osc = _rowquant(o)
+        o = _qmm(oq, osc, refs["wo"], refs["so"])
+    else:
+        o = jnp.dot(o, refs["wo"][:], preferred_element_type=jnp.float32)
     return (o + refs["bo"][:].astype(jnp.float32)).astype(out_dtype)
 
 
 def _full_block_kernel(x_ref, *rest, num_heads, ws, use_rope, mode,
-                       sanitize_hw=None):
-    wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
-    rest = rest[len(_WEIGHT_NAMES):]
+                       sanitize_hw=None, quant=False):
+    names = _names(quant)
+    wrefs = dict(zip(names, rest[:len(names)]))
+    rest = rest[len(names):]
     if use_rope:
         cos_ref, sin_ref, o_ref = rest
         cos = cos_ref[:].astype(jnp.float32)
@@ -327,11 +444,12 @@ def _full_block_kernel(x_ref, *rest, num_heads, ws, use_rope, mode,
 
 
 def _full_block_stripe_kernel(x_ref, *rest, num_heads, ws, nwj, use_rope,
-                              sanitize_hw=None):
+                              sanitize_hw=None, quant=False):
     """Full block on a (1, ws, w, C) stripe: LN/QKV/RoPE/O-proj/FFN batched
     over the stripe's nwj windows, attention per window."""
-    wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
-    rest = rest[len(_WEIGHT_NAMES):]
+    names = _names(quant)
+    wrefs = dict(zip(names, rest[:len(names)]))
+    rest = rest[len(names):]
     if use_rope:
         cos_ref, sin_ref, o_ref = rest
         cos = cos_ref[:].astype(jnp.float32)
@@ -444,9 +562,10 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
     (mode, xk, grid, spec, shape, unpack, _, sanitize_hw,
      nwj) = _layout_plan(x, ws, prefer_stripe=STRIPE_WS8_FULL)
     use_rope = rope_tables is not None
+    quant = is_quantized(p)
     weights = _flatten_params(p, x.dtype, num_heads)
     args = (xk,) + weights
-    in_specs = [spec] + _weight_specs()
+    in_specs = [spec] + _weight_specs(quant)
     if use_rope:
         cos = jnp.asarray(rope_tables[0])[:n]
         sin = jnp.asarray(rope_tables[1])[:n]
@@ -457,11 +576,11 @@ def fused_full_block(p, x, num_heads: int, window_size: int, rope_tables,
         kernel = functools.partial(_full_block_stripe_kernel,
                                    num_heads=num_heads, ws=ws, nwj=nwj,
                                    use_rope=use_rope,
-                                   sanitize_hw=sanitize_hw)
+                                   sanitize_hw=sanitize_hw, quant=quant)
     else:
         kernel = functools.partial(_full_block_kernel, num_heads=num_heads,
                                    ws=ws, use_rope=use_rope, mode=mode,
-                                   sanitize_hw=sanitize_hw)
+                                   sanitize_hw=sanitize_hw, quant=quant)
     nw = nwj
     for g in grid:
         nw *= g
@@ -512,9 +631,10 @@ def _rope_rows(g_slow, cos_t, sin_t, k_slow: int, has_rep: bool):
 
 def _compressed_block_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
                              num_heads, ws, k_slow, n_valid, use_rope,
-                             has_rep, mode, sanitize_hw=None):
-    wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
-    o_ref = rest[len(_WEIGHT_NAMES)]
+                             has_rep, mode, sanitize_hw=None, quant=False):
+    names = _names(quant)
+    wrefs = dict(zip(names, rest[:len(names)]))
+    o_ref = rest[len(names)]
     n = ws * ws
     c = x_ref.shape[-1]
     x = _load_window(x_ref, mode, ws, sanitize_hw)
@@ -557,12 +677,14 @@ def _compressed_block_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
 
 def _compressed_block_stripe_kernel(x_ref, g_ref, cos_ref, sin_ref, *rest,
                                     num_heads, ws, nwj, k_slow, n_valid,
-                                    use_rope, has_rep, sanitize_hw=None):
+                                    use_rope, has_rep, sanitize_hw=None,
+                                    quant=False):
     """Compressed block on a (1, ws, w, C) stripe: per-window MXU
     gather/scatter (G matmuls), LN/QKV/RoPE/O-proj/FFN batched over the
     stripe's nwj windows' compressed tokens, attention per window."""
-    wrefs = dict(zip(_WEIGHT_NAMES, rest[:len(_WEIGHT_NAMES)]))
-    o_ref = rest[len(_WEIGHT_NAMES)]
+    names = _names(quant)
+    wrefs = dict(zip(names, rest[:len(names)]))
+    o_ref = rest[len(names)]
     n = ws * ws
     xt = _stripe_tokens(x_ref, ws, nwj, sanitize_hw)      # (nwj*n, c)
     g = g_ref[0, 0]                                       # (nwj, k_rows, n)
@@ -708,19 +830,21 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
                              lambda *ids: (widx(*ids), 0, 0),
                              memory_space=pltpu.VMEM)
 
+    quant = is_quantized(p)
     weights = _flatten_params(p, x.dtype, num_heads)
     if mode == "stripe":
         kernel = functools.partial(_compressed_block_stripe_kernel,
                                    num_heads=num_heads, ws=ws, nwj=nwj,
                                    k_slow=k, n_valid=n_valid,
                                    use_rope=use_rope, has_rep=has_rep,
-                                   sanitize_hw=sanitize_hw)
+                                   sanitize_hw=sanitize_hw, quant=quant)
     else:
         kernel = functools.partial(_compressed_block_kernel,
                                    num_heads=num_heads,
                                    ws=ws, k_slow=k, n_valid=n_valid,
                                    use_rope=use_rope, has_rep=has_rep,
-                                   mode=mode, sanitize_hw=sanitize_hw)
+                                   mode=mode, sanitize_hw=sanitize_hw,
+                                   quant=quant)
     hidden = p["mlp"]["w1"]["w"].shape[1]
     flops_w = (8 * k_rows * c * c + 4 * k_rows * k_rows * c
                + 6 * k_rows * c * hidden + 4 * k_rows * n * c)
@@ -730,7 +854,7 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, gspec, tspec, tspec] + _weight_specs(),
+        in_specs=[spec, gspec, tspec, tspec] + _weight_specs(quant),
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
         interpret=interpret,
