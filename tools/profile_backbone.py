@@ -41,6 +41,8 @@ def main():
                     help="profile the head program instead of backbone")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the int8 serving path (quant='int8')")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +52,10 @@ def main():
     from bench import make_frame
 
     cfg = get_config(args.config)
+    if args.int8:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, quant="int8"))
     h, w = cfg.pad_shape
     b, n = 1, 6
     params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
