@@ -47,6 +47,13 @@ FORCE_FLAT_LAYOUT = False
 # (7x at 1600x800), amortizing weight stationarity and MXU tiling. Set per
 # kernel family from measurements (tools/profile_backbone.py); env overrides
 # for A/B profiling.
+# MEASURED (v5e, ToC3D_faster_1600, device-lane profile): both flags are
+# parity-to-slightly-worse — full ws16 layers 6.72 ms either way (commit
+# a6aa38a), compressed ws16 layers 4.07->4.17 ms (ratio .5) / unchanged
+# (ratios .4/.3) with stripe. The image-mode kernels already run at 75-85%
+# of padded MXU peak, so batching M across windows buys nothing; stripe
+# stays ON only where it is the point: ws%8!=0 layers, where image-layout
+# blocks are illegal and the alternative costs 4 HBM relayout copies.
 import os as _os
 STRIPE_WS8_FULL = _os.environ.get("TOC3D_STRIPE_WS8_FULL", "0") == "1"
 STRIPE_WS8_COMPRESSED = (
