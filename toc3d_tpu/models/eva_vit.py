@@ -51,9 +51,6 @@ class EVAViTConfig:
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     drop_path_rate: float = 0.0      # eval path ignores droppath (identity)
-    # route the attention core through the fused Pallas TPU kernel
-    # (inference path; training needs the XLA path until a custom VJP lands)
-    use_pallas_attention: bool = False
     # fuse each whole transformer block (LN/QKV/RoPE/attn/proj/SwiGLU) into
     # one Pallas megakernel (ops/pallas/vit_block.py) — inference on TPU
     # only; CPU and training (rng given) keep the XLA path
@@ -277,8 +274,7 @@ def _block_forward_xla(p, x, cfg: EVAViTConfig, window_size: int,
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=LN_EPS)
     xw, padded = window_partition(x, window_size)
-    xw = eva_attention(p["attn"], xw, cfg.num_heads, rope_tables,
-                       use_pallas=cfg.use_pallas_attention)
+    xw = eva_attention(p["attn"], xw, cfg.num_heads, rope_tables)
     x = window_unpartition(xw, window_size, padded, (h, w))
     r1 = None if rng is None else jax.random.fold_in(rng, 0)
     r2 = None if rng is None else jax.random.fold_in(rng, 1)

@@ -39,12 +39,10 @@ class DecoderConfig:
     # hot op (900 q x 30k kv at 1600x800); the kernel keeps the f32 logits
     # in VMEM instead of ~864 MB/layer of HBM round trips.
     fused_attn: bool = True
-    # Whole-layer megakernel (ops/pallas/decoder_layer.py). MEASURED SLOWER
-    # at ViT-L 1600x800 shapes on v5e (head program 9.3 -> 12.8 ms/frame:
-    # the unrolled self-attn + 30-block streamed cross-attn + FFN body
-    # schedules worse under Mosaic than flash-kernel + XLA glue, round-3
-    # profile) — kept available for smaller-kv regimes; parity-tested.
-    fused_layer: bool = False
+    # A whole-decoder-layer megakernel was built and A/B'd in round 3:
+    # MEASURED SLOWER than flash-attention + XLA glue at the ViT-L 1600x800
+    # shapes (head program 9.3 -> 12.8 ms/frame) — removed; see PERF.md
+    # "Kernel A/B history".
 
 
 def init_ffn(key, cfg: DecoderConfig):
@@ -111,20 +109,6 @@ def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,
     runtime/train.compute_losses).
     """
     r = (lambda i: None if rng is None else jax.random.fold_in(rng, i))
-
-    # whole-layer megakernel (ops/pallas/decoder_layer.py): eval-time
-    # configuration only — no mask / dropout / weights, temporal memory
-    # present. Off by default (cfg.fused_layer): measured slower than
-    # flash-attention + XLA glue at the ViT-L shapes.
-    if (cfg.fused_layer and fused_ok and rng is None
-            and self_attn_mask is None and not need_weights
-            and temp_memory is not None):
-        from ..ops.pallas import decoder_layer as _dl
-        if jax.default_backend() != "cpu" or _dl.FORCE_FUSED_ON_CPU:
-            q = _dl.fused_decoder_layer(p, query, key, value, query_pos,
-                                        key_pos, temp_memory, temp_pos,
-                                        cfg.num_heads)
-            return q, None
 
     # self attention over query ⊕ temporal memory
     if temp_memory is not None:

@@ -151,8 +151,7 @@ def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
     # raw deltas retained for the fast-path broadcast update.
     shortcut = slow
     hdn = layer_norm(p["norm1"], slow, eps=LN_EPS)
-    raw1 = eva_attention(p["attn"], hdn, cfg.num_heads, tables, sel_idx,
-                         use_pallas=cfg.use_pallas_attention)
+    raw1 = eva_attention(p["attn"], hdn, cfg.num_heads, tables, sel_idx)
     slow = shortcut + raw1
     raw2 = swiglu(p["mlp"], layer_norm(p["norm2"], slow, eps=LN_EPS),
                   ln_eps=LN_EPS)

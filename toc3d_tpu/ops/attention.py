@@ -44,14 +44,12 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
-def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None,
-                  use_pallas: bool = False):
+def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None):
     """x: (B, N, C) or (B, H, W, C). rope_tables: (cos, sin) or None.
 
     select_idx: (B, N) flat positions for RoPE-with-selection; None applies
-    RoPE at raster positions 0..N-1. use_pallas routes the QK/softmax/AV
-    core through the LEGACY fused kernel (ops/pallas/legacy_window_attn.py)
-    — superseded by the vit_block.py megakernels, kept for reference.
+    RoPE at raster positions 0..N-1. This is the XLA correctness baseline;
+    the production TPU path fuses whole blocks (ops/pallas/vit_block.py).
     """
     reorganize = x.ndim == 4
     if reorganize:
@@ -59,56 +57,31 @@ def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None,
         x = x.reshape(b, hh * ww, c)
     b, n, c = x.shape
 
-    if use_pallas:
-        # fused path: keep (B, N, C) layout; rope applied inside the kernel
-        from .pallas.legacy_window_attn import (fused_window_attention_nc,
-                                                tile_rope_tables,
-                                                pad_tokens_to)
-        q = linear(p["q_proj"], x)
-        k = linear(p["k_proj"], x)
-        v = linear(p["v_proj"], x)
-        if rope_tables is not None:
-            cos, sin = tile_rope_tables(rope_tables[0], rope_tables[1],
-                                        num_heads, n, select_idx)
+    # NOTE: keep exactly this formulation — applying rope in (B, N, C)
+    # layout and/or transpose-free 'bqhd,bkhd' einsums was tried and
+    # REGRESSES badly (151 vs ~90 ms backbone at 800x320, TPU worker crash
+    # at 1600x800): the explicit head-split transposes let XLA
+    # pattern-match its fused-attention custom call.
+    q = _split_heads(linear(p["q_proj"], x), num_heads)
+    k = _split_heads(linear(p["k_proj"], x), num_heads)
+    v = _split_heads(linear(p["v_proj"], x), num_heads)
+
+    if rope_tables is not None:
+        cos, sin = rope_tables
+        if select_idx is not None:
+            q = apply_rope_select(q, cos, sin, select_idx).astype(v.dtype)
+            k = apply_rope_select(k, cos, sin, select_idx).astype(v.dtype)
         else:
-            cos = sin = None
-        qp, n_valid = pad_tokens_to(q)
-        kp, _ = pad_tokens_to(k)
-        vp, _ = pad_tokens_to(v)
-        if cos is not None and qp.shape[1] != n:
-            pad = qp.shape[1] - n
-            widths = (((0, 0), (0, pad), (0, 0)) if cos.ndim == 3
-                      else ((0, pad), (0, 0)))
-            cos = jnp.pad(cos, widths)
-            sin = jnp.pad(sin, widths)
-        out = fused_window_attention_nc(qp, kp, vp, cos, sin, num_heads,
-                                        n_valid=n_valid)[:, :n]
-    else:
-        # XLA path. NOTE: keep exactly this formulation — applying rope in
-        # (B, N, C) layout and/or transpose-free 'bqhd,bkhd' einsums was
-        # tried and REGRESSES badly (151 vs ~90 ms backbone at 800x320, TPU
-        # worker crash at 1600x800): the explicit head-split transposes let
-        # XLA pattern-match its fused-attention custom call.
-        q = _split_heads(linear(p["q_proj"], x), num_heads)
-        k = _split_heads(linear(p["k_proj"], x), num_heads)
-        v = _split_heads(linear(p["v_proj"], x), num_heads)
+            q = apply_rope(q, cos, sin).astype(v.dtype)
+            k = apply_rope(k, cos, sin).astype(v.dtype)
 
-        if rope_tables is not None:
-            cos, sin = rope_tables
-            if select_idx is not None:
-                q = apply_rope_select(q, cos, sin, select_idx).astype(v.dtype)
-                k = apply_rope_select(k, cos, sin, select_idx).astype(v.dtype)
-            else:
-                q = apply_rope(q, cos, sin).astype(v.dtype)
-                k = apply_rope(k, cos, sin).astype(v.dtype)
-
-        head_dim = c // num_heads
-        scale = head_dim ** -0.5
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = _merge_heads(out)
+    head_dim = c // num_heads
+    scale = head_dim ** -0.5
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = _merge_heads(out)
     out = linear(p["proj"], out)
     if reorganize:
         out = out.reshape(b, hh, ww, c)
