@@ -224,6 +224,28 @@ def _precast_backbone_params(params, cfg: DetectorConfig):
     return out
 
 
+class PrecastCache:
+    """One-entry params→precast cache keyed on pytree-leaf identity.
+
+    `id(params)` alone is unsafe: after the old pytree is GC'd a new one can
+    reuse the id and silently serve stale precast weights. Holding the first
+    leaf array alive and comparing with `is` removes the hazard — a live
+    object's identity can't be recycled, and any freshly-built params tree
+    necessarily carries a different leaf object."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._leaf = None
+        self._value = None
+
+    def __call__(self, params):
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        if self._leaf is not leaf:
+            self._value = self._fn(params)
+            self._leaf = leaf
+        return self._value
+
+
 def make_infer_fn(cfg: DetectorConfig, mask_seed: int = 0):
     """Build the streaming inference callable as TWO jitted programs
     (backbone+neck, then head+decode).
@@ -249,15 +271,10 @@ def make_infer_fn(cfg: DetectorConfig, mask_seed: int = 0):
     hd = jax.jit(lambda p, s, feats, f: head_step(p, cfg, s, feats, f))
     base = jax.random.PRNGKey(mask_seed)
     counter = [0]
-    precast = jax.jit(lambda p: _precast_backbone_params(p, cfg))
-    cache = {}
+    precast = PrecastCache(jax.jit(lambda p: _precast_backbone_params(p, cfg)))
 
     def infer(params, state: DetectorState, frame):
-        key = id(params)
-        if key not in cache:
-            cache.clear()                 # params swapped: drop the old cast
-            cache[key] = precast(params)
-        p = cache[key]
+        p = precast(params)
         if stochastic:
             k = jax.random.fold_in(base, counter[0])
             counter[0] += 1
