@@ -129,6 +129,38 @@ def test_eval_frame_fast_decode(tmp_path):
     assert meta["token"] == infos.infos[0]["token"]
 
 
+def test_device_normalize_parity(tmp_path):
+    """uint8 frames (device_normalize) must produce the same detections as
+    host-normalized f32 frames. Equivalent math — XLA may rewrite the
+    in-graph divide as multiply-by-reciprocal when fusing, so agreement is
+    to ~1e-5, not bitwise."""
+    from toc3d_tpu.configs import get_config
+    from toc3d_tpu.data.nuscenes import normalize_image
+    from toc3d_tpu.models.detector import (init_detector, init_state,
+                                           make_infer_fn)
+
+    path = make_synthetic_dataset(str(tmp_path))
+    infos = NuScenesInfos(path)
+    f_u8, _ = build_eval_frame(infos, 0, TINY_AUG, fast_decode=True,
+                               device_normalize=True)
+    assert f_u8["img"].dtype == np.uint8
+    f_f32 = dict(f_u8)
+    f_f32["img"] = normalize_image(f_u8["img"].astype(np.float32))
+
+    cfg = get_config("tiny")
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    infer = make_infer_fn(cfg)
+    _, d_u8 = infer(params, init_state(1, cfg), f_u8)
+    _, d_f32 = infer(params, init_state(1, cfg), f_f32)
+    for name, a, b in zip(d_u8._fields, d_u8, d_f32):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+    with pytest.raises(ValueError, match="fast_decode"):
+        build_eval_frame(infos, 0, TINY_AUG, device_normalize=True)
+
+
 def test_train_sample_shapes(tmp_path):
     path = make_synthetic_dataset(str(tmp_path))
     infos = NuScenesInfos(path, seq_split_num=1)

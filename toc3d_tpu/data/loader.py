@@ -29,16 +29,54 @@ def _load_image_bgr(path: str) -> np.ndarray:
     return rgb[..., ::-1]
 
 
-def _load_transform_fast(path: str, resize_dims, crop, flip: bool):
-    """Fused decode->resize->crop->flip in PIL with JPEG draft-mode decode.
+def _has_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+        return True
+    except ImportError:
+        return False
 
-    `draft` decodes at a DCT-domain power-of-2 reduction >= resize_dims —
-    ~4x faster than full decode for the 800x320 pipeline (1600x900 source
-    halves to 800x450 in the decoder). One numpy conversion at the end
-    instead of loader.py's numpy->PIL->numpy round trip. Pixel values
-    differ slightly from the exact path (bilinear from the drafted scale),
-    so this is opt-in (fast_decode) for speed runs / production serving,
-    not the parity-tested default."""
+
+def _load_transform_fast(path: str, resize_dims, crop, flip: bool):
+    """Fused decode->resize->crop->flip -> (fH, fW, 3) uint8 BGR.
+
+    JPEG decode happens at a DCT-domain power-of-2 reduction >= resize_dims
+    (libjpeg scaled IDCT) — ~4x less IDCT+colorspace work than full decode
+    for the 800x320 pipeline (the 1600x900 source halves to 800x450 inside
+    the decoder). Decoder is cv2 when available (libjpeg-turbo, emits BGR
+    directly — no channel flip copy) with a PIL `draft` fallback. Output
+    stays uint8: normalization belongs on the device (see
+    detector.extract_img_feat), where (x-mean)/std fuses into the backbone
+    program for free and the host->device transfer shrinks 4x.
+
+    Pixel values differ slightly from the exact path (bilinear from the
+    reduced scale vs bicubic from full resolution), so this is opt-in
+    (fast_decode) for speed runs / production serving, not the
+    parity-tested default."""
+    tw, th = resize_dims
+    if _has_cv2():
+        import cv2
+        from PIL import Image
+
+        with Image.open(path) as im:           # lazy: header only
+            sw, sh = im.size
+        k = 1
+        while k < 8 and sw // (2 * k) >= tw and sh // (2 * k) >= th:
+            k *= 2
+        flag = {1: cv2.IMREAD_COLOR, 2: cv2.IMREAD_REDUCED_COLOR_2,
+                4: cv2.IMREAD_REDUCED_COLOR_4,
+                8: cv2.IMREAD_REDUCED_COLOR_8}[k]
+        img = cv2.imread(path, flag)                         # (h, w, 3) BGR
+        if img is None:                                      # exotic format
+            img = _load_image_bgr(path)
+        if (img.shape[1], img.shape[0]) != (tw, th):
+            img = cv2.resize(img, (tw, th), interpolation=cv2.INTER_LINEAR)
+        left, upper, right, lower = crop
+        img = img[upper:lower, left:right]
+        if flip:
+            img = img[:, ::-1]
+        return np.ascontiguousarray(img)
+
     from PIL import Image
 
     with Image.open(path) as im:
@@ -48,16 +86,25 @@ def _load_transform_fast(path: str, resize_dims, crop, flip: bool):
     pil = pil.crop(crop)
     if flip:
         pil = pil.transpose(method=Image.FLIP_LEFT_RIGHT)
-    out = np.asarray(pil, np.float32)[..., ::-1]         # BGR
+    out = np.asarray(pil, np.uint8)[..., ::-1]               # BGR
     return np.ascontiguousarray(out)
 
 
 def build_eval_frame(infos: NuScenesInfos, index: int, aug: AugConfig,
                      data_root: Optional[str] = None,
-                     fast_decode: bool = False) -> Dict:
+                     fast_decode: bool = False,
+                     device_normalize: bool = False) -> Dict:
     """Deterministic eval preprocessing for one sample -> numpy frame dict
     (B=1 leading axis) + meta for submission formatting. fast_decode uses
-    JPEG draft-mode decoding (see _load_transform_fast)."""
+    reduced-scale JPEG decoding (see _load_transform_fast).
+
+    device_normalize (requires fast_decode): emit frame['img'] as raw
+    uint8 BGR and let the jitted backbone program apply (x-mean)/std
+    (detector.extract_img_feat) — 4x less host->device transfer and zero
+    host normalize cost; numerically identical math."""
+    if device_normalize and not fast_decode:
+        raise ValueError("device_normalize needs the uint8 fast_decode "
+                         "payload; the exact path is float after resize")
     meta = infos.frame_meta(index)
     resize, resize_dims, crop, flip = sample_augmentation(aug, training=False)
     ida = ida_matrix(resize, crop, flip)
@@ -69,19 +116,25 @@ def build_eval_frame(infos: NuScenesInfos, index: int, aug: AugConfig,
             path = f"{data_root.rstrip('/')}/{path.lstrip('./')}"
         if fast_decode:
             img = _load_transform_fast(path, resize_dims, crop, flip)
+            if not device_normalize:
+                img = normalize_image(img.astype(np.float32))
         else:
             img = _load_image_bgr(path)
-            img = transform_image(img, resize_dims, crop, flip)
-        img = pad_to_multiple(normalize_image(img), 32)
+            img = normalize_image(transform_image(img, resize_dims, crop,
+                                                  flip))
+        img = pad_to_multiple(img, 32)
         imgs.append(img)
         intr = intr.copy()
         intr[:3, :3] = ida @ intr[:3, :3]
         intrinsics.append(intr)
         lidar2img.append(intr @ extr)
 
+    img_stack = np.stack(imgs)[None]
+    frame_img = (img_stack if img_stack.dtype == np.uint8
+                 else img_stack.astype(np.float32))
     img2lidar = [np.linalg.inv(m).astype(np.float32) for m in lidar2img]
     frame = {
-        "img": np.stack(imgs)[None].astype(np.float32),
+        "img": frame_img,
         "intrinsics": np.stack(intrinsics)[None].astype(np.float32),
         "lidar2img": np.stack(lidar2img)[None].astype(np.float32),
         "img2lidar": np.stack(img2lidar)[None],

@@ -100,7 +100,14 @@ def _motion_ctx_from_memory(cfg: DetectorConfig, memory: MemoryBank, frame):
 def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
                      frame, rope_tables=None, rng=None, remat=False,
                      mask_rng=None, fused_ok: bool = True):
-    """img: (B, N, H, W, 3) normalized images -> (feats (B, N, h, w, C), aux).
+    """img: (B, N, H, W, 3) images -> (feats (B, N, h, w, C), aux).
+
+    img is either float32 already mean/std-normalized on the host, or raw
+    uint8 BGR (loader device_normalize path) — uint8 is normalized here,
+    inside the jitted program, where (x-mean)/std fuses into the first
+    backbone op for free and the host->device transfer is 4x smaller.
+    Same math as data/nuscenes.normalize_image (f32, then compute-dtype
+    cast), so the two payloads produce identical features.
 
     aux carries the token-compression masks/indices for loss and vis.
     mask_rng: eval-only PRNG for the reference-parity stochastic token mask
@@ -112,6 +119,11 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
     b, n, h, w, c = img.shape
     x = img.reshape(b * n, h, w, c)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if x.dtype == jnp.uint8:
+        from ..configs.presets import IMG_NORM_MEAN, IMG_NORM_STD
+        mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+        std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+        x = (x.astype(jnp.float32) - mean) / std
     x = x.astype(dtype)
 
     aux = None

@@ -33,17 +33,31 @@ import numpy as np
 
 
 def make_fullres_dataset(tmpdir, n_frames, n_distinct, n_cams=6,
-                         src_h=900, src_w=1600):
+                         src_h=900, src_w=1600, entropy="photo"):
     """Infos pkl over n_frames samples (one scene) cycling n_distinct
     physically-written JPEG image sets — decode cost per frame is real,
-    generation cost is bounded."""
+    generation cost is bounded.
+
+    entropy='photo' (default): smooth gradients + mild texture, ~370 KB
+    per 1600x900 q90 file — the conservative end of real nuScenes camera
+    JPEGs (~100-400 KB). 'noise': uniform noise, ~1.27 MB/file — a
+    pathological Huffman-decode worst case ~2.3x slower than photo-like
+    content; kept for stress runs (this was the pre-r4 default and
+    overstated real decode cost)."""
     from PIL import Image
 
     rng = np.random.RandomState(0)
     img_dir = os.path.join(tmpdir, "imgs")
     os.makedirs(img_dir, exist_ok=True)
     paths = []
-    base = rng.randint(0, 255, (src_h, src_w, 3), np.uint8)
+    if entropy == "noise":
+        base = rng.randint(0, 255, (src_h, src_w, 3), np.uint8)
+    else:
+        yy, xx = np.mgrid[0:src_h, 0:src_w]
+        base = np.stack([(xx / 8 + yy / 12) % 255, (xx / 6) % 255,
+                         (yy / 9) % 255], -1)
+        base = (base * 0.7 + rng.randn(src_h, src_w, 3) * 8)
+        base = base.clip(0, 255).astype(np.uint8)
     for d in range(n_distinct):
         row = []
         for c in range(n_cams):
@@ -100,6 +114,9 @@ def main():
     ap.add_argument("--distinct", type=int, default=24)
     ap.add_argument("--host-probe", type=int, default=24,
                     help="frames for the host-only timing pass")
+    ap.add_argument("--entropy", choices=("photo", "noise"), default="photo",
+                    help="synthetic JPEG content (photo ~ real nuScenes "
+                         "file sizes; noise = worst-case)")
     ap.add_argument("--keep", default=None,
                     help="directory to generate into (kept); default tmp")
     args = ap.parse_args()
@@ -118,18 +135,19 @@ def main():
         print(f"# generating {args.distinct} distinct 6-cam JPEG frames "
               f"in {tmpdir} ...", file=sys.stderr, flush=True)
         ann = make_fullres_dataset(tmpdir, args.frames + args.warmup,
-                                   args.distinct)
+                                   args.distinct, entropy=args.entropy)
         infos = NuScenesInfos(ann)
         n = len(infos)
 
         # --- host-only -------------------------------------------------
         host = {}
-        for mode in ("exact", "fast"):
-            build_eval_frame(infos, 0, aug, fast_decode=(mode == "fast"))
+        for mode, kw in (("exact", {}), ("fast", dict(fast_decode=True)),
+                         ("fast_u8", dict(fast_decode=True,
+                                          device_normalize=True))):
+            build_eval_frame(infos, 0, aug, **kw)
             t0 = time.perf_counter()
             for i in range(args.host_probe):
-                build_eval_frame(infos, i % n, aug,
-                                 fast_decode=(mode == "fast"))
+                build_eval_frame(infos, i % n, aug, **kw)
             host[mode] = (time.perf_counter() - t0) / args.host_probe
             print(f"# host {mode}: {1000 * host[mode]:.1f} ms/frame",
                   file=sys.stderr, flush=True)
@@ -139,32 +157,44 @@ def main():
             jax.random.PRNGKey(0))
         jax.block_until_ready(params)
         infer = make_infer_fn(cfg)
-        state = init_state(1, cfg)
+
+        def infer_loop(frame):
+            """Device loop on one preloaded host frame: each step re-uploads
+            the frame (the serving payload cost) and fetches the boxes with
+            one-frame pipelining — bench.py protocol."""
+            state = init_state(1, cfg)
+            for i in range(args.warmup):
+                state, det = infer(params, state, frame)
+                if (i + 1) % 25 == 0:
+                    np.asarray(det.scores)
+            np.asarray(det.scores)
+            t0 = time.perf_counter()
+            prev = None
+            for i in range(args.frames):
+                state, det = infer(params, state, frame)
+                if prev is not None:
+                    np.asarray(prev.scores)
+                prev = det
+            np.asarray(prev.scores)
+            return (time.perf_counter() - t0) / args.frames
+
         frame, _ = build_eval_frame(infos, 0, aug)
         frame["prev_exists"][:] = 0.0
-        for i in range(args.warmup):
-            state, det = infer(params, state, frame)
-            if (i + 1) % 25 == 0:
-                np.asarray(det.scores)
-        np.asarray(det.scores)
-        t0 = time.perf_counter()
-        prev = None
-        for i in range(args.frames):
-            state, det = infer(params, state, frame)
-            if prev is not None:
-                np.asarray(prev.scores)
-            prev = det
-        np.asarray(prev.scores)
-        infer_wall = (time.perf_counter() - t0) / args.frames
+        infer_wall = infer_loop(frame)          # f32 payload (18 MB @1600)
+        frame_u8, _ = build_eval_frame(infos, 0, aug, fast_decode=True,
+                                       device_normalize=True)
+        frame_u8["prev_exists"][:] = 0.0
+        infer_u8_wall = infer_loop(frame_u8)    # uint8 payload (4.6 MB)
 
         # --- end-to-end -------------------------------------------------
-        def run_e2e(fast):
+        def run_e2e(fast, devnorm=False):
             st = init_state(1, cfg)
             prev_scene = [None]
 
             def gen():
                 for i in range(n):
-                    yield build_eval_frame(infos, i, aug, fast_decode=fast)
+                    yield build_eval_frame(infos, i, aug, fast_decode=fast,
+                                           device_normalize=devnorm)
 
             t_timed, timed, prev = 0.0, 0, None
             t0 = time.perf_counter()
@@ -185,7 +215,7 @@ def main():
             np.asarray(prev.scores)
             return (time.perf_counter() - t0) / (n - args.warmup)
 
-        e2e_fast = run_e2e(True)
+        e2e_fast = run_e2e(True, devnorm=True)
         e2e_exact = run_e2e(False)
 
         out = {
@@ -193,13 +223,16 @@ def main():
             "value": round(1.0 / e2e_fast, 3),
             "unit": "frames/s",
             "vs_baseline": None,
+            "entropy": args.entropy,
             "host_exact_ms": round(1000 * host["exact"], 1),
             "host_fast_ms": round(1000 * host["fast"], 1),
+            "host_fast_u8_ms": round(1000 * host["fast_u8"], 1),
             "infer_ms": round(1000 * infer_wall, 1),
+            "infer_u8_ms": round(1000 * infer_u8_wall, 1),
             "e2e_exact_ms": round(1000 * e2e_exact, 1),
             "e2e_fast_ms": round(1000 * e2e_fast, 1),
-            "overlap_eff_fast": round(infer_wall / e2e_fast, 3),
-            "host_bound": bool(e2e_fast > 1.1 * infer_wall),
+            "overlap_eff_fast": round(infer_u8_wall / e2e_fast, 3),
+            "host_bound": bool(e2e_fast > 1.1 * infer_u8_wall),
         }
         print(json.dumps(out))
     finally:

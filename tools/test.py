@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--speed-test", action="store_true",
                     help="activate the warmup-200 timing protocol "
                          "(test_time_print equivalent)")
+    ap.add_argument("--fast-decode", action="store_true",
+                    help="production serving pipeline: reduced-scale JPEG "
+                         "decode + uint8 device-side normalization "
+                         "(~3x less host decode, 4x smaller upload; pixel "
+                         "values differ slightly from the parity-exact "
+                         "bicubic path)")
     ap.add_argument("--token-vis", type=int, default=0, metavar="N",
                     help="write kept/dropped token PNGs for the first N "
                          "samples (token_vis_ToC3D config equivalent)")
@@ -124,7 +130,9 @@ def main():
 
     def frames():
         for i in sample_range:
-            yield build_eval_frame(infos, i, aug, args.data_root)
+            yield build_eval_frame(infos, i, aug, args.data_root,
+                                   fast_decode=args.fast_decode,
+                                   device_normalize=args.fast_decode)
 
     results = {}
     state = init_state(1, cfg)
