@@ -236,7 +236,10 @@ def main():
     if args.int8:
         import dataclasses
         cfg = dataclasses.replace(
-            cfg, backbone=dataclasses.replace(cfg.backbone, quant="int8"))
+            cfg, backbone=dataclasses.replace(cfg.backbone, quant="int8"),
+            head=dataclasses.replace(
+                cfg.head, decoder=dataclasses.replace(cfg.head.decoder,
+                                                      quant="int8")))
         label += "+int8"
     if args.train:
         return bench_train(cfg, args)

@@ -77,6 +77,39 @@ def test_load_without_model_modules(artifact, tmp_path):
     assert boxes.bboxes.shape[0] == 1
 
 
+def test_int8_head_uint8_img_export_selfcheck(tmp_path):
+    """Production-serving export variants: head-decoder int8 (XLA int8
+    dots — platform-independent, so CPU-testable; the backbone kernel int8
+    path needs a TPU backend) + raw-uint8 frame payload. The artifact must
+    reproduce make_infer_fn bit-for-bit on the same quantized config."""
+    from dataclasses import replace
+    import jax.numpy as jnp
+
+    cfg = tiny_detector()
+    cfg = replace(cfg, head=replace(
+        cfg.head, decoder=replace(cfg.head.decoder, quant="int8")))
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    out = str(tmp_path / "int8")
+    manifest = export_detector(params, cfg, out, batch_size=1, num_views=2,
+                               img_dtype=jnp.uint8)
+    assert manifest["quant"] == {"backbone": "none", "head": "int8"}
+    assert manifest["frame_specs"]["img"]["dtype"] == "uint8"
+
+    det = load_detector(out)
+    ref = make_infer_fn(cfg)
+    s_exp, s_ref = det.init_state(), init_state(1, cfg)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        frame = make_frame(b=1, n=2, prev_exists=0.0 if i == 0 else 1.0,
+                           seed=i)
+        frame["img"] = rng.randint(0, 256, frame["img"].shape).astype(
+            np.uint8)
+        s_exp, d_exp = det(s_exp, frame)
+        s_ref, d_ref = ref(params, s_ref, frame)
+        for a, b in zip(d_exp, d_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_gumbel_not_exportable(tmp_path):
     from dataclasses import replace
     cfg = tiny_detector()

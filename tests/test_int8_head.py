@@ -1,0 +1,82 @@
+"""Serving int8 for the head decoder (layers.quantize_linear +
+petr_transformer.quantize_decoder_params): the XLA analogue of the
+backbone kernels' int8 path. Quantized decoder outputs must stay within
+int8 error bounds of the float path, and the e2e detector must keep its
+top-k selection behavior."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from toc3d_tpu.layers import linear, quantize_linear
+from toc3d_tpu.models.petr_transformer import (DecoderConfig, init_decoder,
+                                               decoder_forward,
+                                               quantize_decoder_params)
+
+
+def test_quantize_linear_error_bounds():
+    k = jax.random.PRNGKey(0)
+    w = jax.random.normal(k, (64, 96)) * 0.05
+    p = {"w": w, "b": jnp.zeros((96,))}
+    x = jax.random.normal(jax.random.fold_in(k, 1), (7, 64))
+    y = linear(p, x)
+    pq = quantize_linear(p)
+    assert pq["w"].dtype == jnp.int8
+    assert pq["w_scale"].shape == (96,)
+    yq = linear(pq, x)
+    rel = float(jnp.linalg.norm(yq - y) / jnp.linalg.norm(y))
+    assert rel < 0.02, rel
+
+
+def test_quantized_decoder_close_to_float():
+    cfg = DecoderConfig(embed_dims=64, num_heads=4, num_layers=2,
+                        feedforward_channels=128, dropout=0.0)
+    k = jax.random.PRNGKey(0)
+    p = jax.jit(lambda kk: init_decoder(kk, cfg))(k)
+    b, q, kv = 2, 12, 40
+    ks = jax.random.split(jax.random.fold_in(k, 1), 4)
+    tgt = jax.random.normal(ks[0], (b, q, 64))
+    mem = jax.random.normal(ks[1], (b, kv, 64))
+    qpos = jax.random.normal(ks[2], (b, q, 64)) * 0.1
+    kpos = jax.random.normal(ks[3], (b, kv, 64)) * 0.1
+
+    outs, _ = jax.jit(lambda pp: decoder_forward(
+        pp, cfg, tgt, mem, qpos, kpos, None))(p)
+    pq = jax.jit(quantize_decoder_params)(p)
+    assert pq["layers"][0]["self_attn"]["q_proj"]["w"].dtype == jnp.int8
+    assert pq["layers"][1]["ffn"]["fc0"]["w"].dtype == jnp.int8
+    outs_q, _ = jax.jit(lambda pp: decoder_forward(
+        pp, cfg, tgt, mem, qpos, kpos, None))(pq)
+    rel = float(jnp.linalg.norm(outs_q - outs) / jnp.linalg.norm(outs))
+    # two stacked quantized layers (8 int8 matmuls deep incl. softmax
+    # renormalization between them)
+    assert rel < 0.05, rel
+
+
+def test_e2e_head_int8_selection_stable():
+    """tiny detector with head-decoder int8: runs, finite, and the top-5
+    selected boxes land near the float path's (selection flips under
+    rounding noise are allowed; gross corruption is not)."""
+    from dataclasses import replace
+    import sys
+    sys.path.insert(0, "tests")
+    from test_models_smoke import tiny_detector, make_frame
+    from toc3d_tpu.models.detector import (init_detector, init_state,
+                                           make_infer_fn)
+
+    cfg = tiny_detector()
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    frame = make_frame(b=1, n=2, prev_exists=0.0, seed=3)
+    _, det_f = make_infer_fn(cfg)(params, init_state(1, cfg), frame)
+
+    cfg_q = replace(cfg, head=replace(
+        cfg.head, decoder=replace(cfg.head.decoder, quant="int8")))
+    _, det_q = make_infer_fn(cfg_q)(params, init_state(1, cfg_q), frame)
+
+    sf = np.asarray(det_f.scores[0])
+    sq = np.asarray(det_q.scores[0])
+    assert np.isfinite(np.asarray(det_q.bboxes)).all()
+    # score ordering of the float top-5 survives quantization to within
+    # a small absolute tolerance
+    top = np.argsort(-sf)[:5]
+    assert np.all(np.abs(sf[top] - sq[top]) < 0.05), (sf[top], sq[top])

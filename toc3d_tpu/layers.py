@@ -79,10 +79,46 @@ def init_linear(key, d_in, d_out, bias=True, init="torch", std=0.02):
 
 
 def linear(p, x):
-    y = x @ p["w"].astype(x.dtype)
+    if "w_scale" in p:                     # int8 serving path (quantize_linear)
+        y = _int8_matmul(x, p["w"], p["w_scale"]).astype(x.dtype)
+    else:
+        y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
+
+
+def quantize_linear(p):
+    """Symmetric per-output-channel int8 weight quantization of one linear.
+
+    Serving-only (mirrors ops/pallas/vit_block.quantize_block_params for the
+    XLA-side head linears): w -> int8 (in, out) + 'w_scale' f32 (out,) dequant
+    row; bias untouched. `linear` detects 'w_scale' and runs the matmul as
+    int8 x int8 -> int32 on the MXU with dynamic per-row activation
+    quantization. Run ONCE outside the streaming program
+    (detector._precast_backbone_params) — in-graph it would re-quantize every
+    frame."""
+    w = p["w"].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    out = dict(p)
+    out["w"] = wq
+    out["w_scale"] = s
+    return out
+
+
+def _int8_matmul(x, wq, w_scale):
+    """(..., in) @ int8 (in, out) -> f32 (..., out) via dynamic symmetric
+    per-row activation quantization; the dot runs int8 x int8 -> int32 on
+    the MXU (same scheme as vit_block._rowquant/_qmm)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-6)
+    xq = jnp.clip(jnp.round(x32 * (127.0 / amax)), -127.0,
+                  127.0).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (amax * (1.0 / 127.0)) \
+        * w_scale.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -209,9 +209,6 @@ def _precast_backbone_params(params, cfg: DetectorConfig):
     stay f32 (the kernels want them f32); pos_embed stays f32 (bicubic
     resize math). The cast here is the SAME f32->bf16 rounding the
     in-graph cast performed, so kernel inputs are bit-identical."""
-    if cfg.compute_dtype != "bfloat16":
-        return params
-
     def cast(tree):
         return jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
@@ -219,9 +216,10 @@ def _precast_backbone_params(params, cfg: DetectorConfig):
                 and a.dtype == jnp.float32) else a, tree)
 
     bb = dict(params["img_backbone"])
-    for k in ("blocks", "patch_embed", "score_predictor"):
-        if k in bb:
-            bb[k] = cast(bb[k])
+    if cfg.compute_dtype == "bfloat16":
+        for k in ("blocks", "patch_embed", "score_predictor"):
+            if k in bb:
+                bb[k] = cast(bb[k])
     if getattr(cfg.backbone, "quant", "none") == "int8":
         # serving int8: per-output-channel weight quantization of every
         # block's seven weight matmuls, done here ONCE so the streaming
@@ -233,6 +231,14 @@ def _precast_backbone_params(params, cfg: DetectorConfig):
                         for blk in bb["blocks"]]
     out = dict(params)
     out["img_backbone"] = bb
+    if getattr(cfg.head.decoder, "quant", "none") == "int8":
+        # serving int8 for the head decoder's linears (XLA int8 dots,
+        # petr_transformer.quantize_decoder_params); attention cores and
+        # cls/reg branches stay in the decoder compute dtype.
+        from .petr_transformer import quantize_decoder_params
+        head = dict(out["pts_bbox_head"])
+        head["decoder"] = quantize_decoder_params(head["decoder"])
+        out["pts_bbox_head"] = head
     return out
 
 

@@ -43,6 +43,12 @@ class DecoderConfig:
     # MEASURED SLOWER than flash-attention + XLA glue at the ViT-L 1600x800
     # shapes (head program 9.3 -> 12.8 ms/frame) — removed; see PERF.md
     # "Kernel A/B history".
+    # 'int8': serving-only per-channel int8 weights + dynamic per-row
+    # activation quant for the decoder's linears (q/k/v/out projections +
+    # FFN) — the XLA analogue of the backbone kernels' int8 path; applied
+    # once in detector._precast_backbone_params. The flash-attention core
+    # itself stays bf16/f32 (it is exp-bound, not matmul-bound).
+    quant: str = "none"
 
 
 def init_ffn(key, cfg: DecoderConfig):
@@ -89,6 +95,31 @@ def init_decoder(key, cfg: DecoderConfig):
                    for i in range(cfg.num_layers)],
         "post_norm": init_layer_norm(cfg.embed_dims),
     }
+
+
+def quantize_decoder_params(p):
+    """Per-output-channel int8 quantization of every decoder-layer linear
+    (self/cross-attn q/k/v/out projections + the two FFN matmuls); LNs and
+    the post-norm stay f32. Serving-only — run once outside the streaming
+    program (detector._precast_backbone_params). The attention cores are
+    untouched: the flash kernel is exp/VPU-bound, quantizing its inputs
+    buys nothing (PERF.md int8 section)."""
+    from ..layers import quantize_linear
+
+    def qmha(m):
+        return {k: quantize_linear(v) for k, v in m.items()}
+
+    layers = []
+    for lp in p["layers"]:
+        out = dict(lp)
+        out["self_attn"] = qmha(lp["self_attn"])
+        out["cross_attn"] = qmha(lp["cross_attn"])
+        out["ffn"] = {"fc0": quantize_linear(lp["ffn"]["fc0"]),
+                      "fc1": quantize_linear(lp["ffn"]["fc1"])}
+        layers.append(out)
+    out = dict(p)
+    out["layers"] = layers
+    return out
 
 
 def decoder_layer_forward(p, cfg: DecoderConfig, query, key, value, query_pos,

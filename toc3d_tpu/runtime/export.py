@@ -93,12 +93,17 @@ def _spec(tree):
 # ---------------------------------------------------------------------------
 
 def frame_specs(cfg: DetectorConfig, batch_size: int = 1,
-                num_views: int = 6) -> Dict[str, jax.ShapeDtypeStruct]:
+                num_views: int = 6,
+                img_dtype=jnp.float32) -> Dict[str, jax.ShapeDtypeStruct]:
+    """img_dtype=jnp.uint8 exports the production-serving payload program:
+    raw uint8 BGR frames (data/loader.build_eval_frame device_normalize),
+    normalized inside the backbone program (detector.extract_img_feat) —
+    4x smaller host->device transfer."""
     h, w = cfg.pad_shape
     b, n = batch_size, num_views
     f32 = jnp.float32
     return {
-        "img": jax.ShapeDtypeStruct((b, n, h, w, 3), f32),
+        "img": jax.ShapeDtypeStruct((b, n, h, w, 3), jnp.dtype(img_dtype)),
         "intrinsics": jax.ShapeDtypeStruct((b, n, 4, 4), f32),
         "img2lidar": jax.ShapeDtypeStruct((b, n, 4, 4), f32),
         "timestamp": jax.ShapeDtypeStruct((b,), f32),
@@ -110,7 +115,7 @@ def frame_specs(cfg: DetectorConfig, batch_size: int = 1,
 
 def export_detector(params, cfg: DetectorConfig, out_dir: str,
                     batch_size: int = 1, num_views: int = 6,
-                    platforms=None) -> Dict[str, Any]:
+                    platforms=None, img_dtype=jnp.float32) -> Dict[str, Any]:
     """Export the streaming detector to `out_dir`; returns the manifest.
 
     params: raw (f32) detector params — the backbone precast to the
@@ -128,7 +133,7 @@ def export_detector(params, cfg: DetectorConfig, out_dir: str,
     p = jax.jit(lambda q: _precast_backbone_params(q, cfg))(params)
     jax.block_until_ready(p)
     state0 = init_state(batch_size, cfg)
-    fspec = frame_specs(cfg, batch_size, num_views)
+    fspec = frame_specs(cfg, batch_size, num_views, img_dtype)
     pspec, sspec = _spec(p), _spec(state0)
 
     # Mosaic TPU kernels lower to the "tpu_custom_call" target, which
@@ -169,6 +174,8 @@ def export_detector(params, cfg: DetectorConfig, out_dir: str,
         "num_views": num_views,
         "pad_shape": list(cfg.pad_shape),
         "compute_dtype": cfg.compute_dtype,
+        "quant": {"backbone": getattr(cfg.backbone, "quant", "none"),
+                  "head": getattr(cfg.head.decoder, "quant", "none")},
         "frame_keys": list(FRAME_KEYS),
         "frame_specs": {k: {"shape": list(v.shape), "dtype": str(v.dtype)}
                         for k, v in fspec.items()},

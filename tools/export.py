@@ -33,6 +33,14 @@ def main():
     ap.add_argument("--selfcheck", action="store_true",
                     help="reload the artifact and verify it matches "
                          "make_infer_fn bit-for-bit on 3 streaming frames")
+    ap.add_argument("--int8", action="store_true",
+                    help="export the int8 serving path (per-channel int8 "
+                         "weights: backbone fused kernels + head decoder "
+                         "linears; quantized once at export)")
+    ap.add_argument("--uint8-img", action="store_true",
+                    help="export the raw-uint8 frame payload program "
+                         "(device-side normalization; pairs with "
+                         "build_eval_frame device_normalize)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +52,13 @@ def main():
     if args.cfg_options:
         from toc3d_tpu.configs.presets import apply_overrides
         cfg = apply_overrides(cfg, args.cfg_options)
+    if args.int8:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, quant="int8"),
+            head=dataclasses.replace(
+                cfg.head, decoder=dataclasses.replace(cfg.head.decoder,
+                                                      quant="int8")))
 
     if args.checkpoint and os.path.isdir(args.checkpoint):
         from toc3d_tpu.runtime.checkpoint import load_params
@@ -58,9 +73,11 @@ def main():
         params = jax.jit(lambda k: init_detector(k, cfg))(
             jax.random.PRNGKey(0))
 
+    import jax.numpy as jnp
+    img_dtype = jnp.uint8 if args.uint8_img else jnp.float32
     t0 = time.perf_counter()
     manifest = export_detector(params, cfg, args.out, batch_size=args.batch,
-                               num_views=args.views)
+                               num_views=args.views, img_dtype=img_dtype)
     sizes = {f: os.path.getsize(os.path.join(args.out, f))
              for f in sorted(os.listdir(args.out))}
     print(json.dumps({"out": args.out, "platforms": manifest["platforms"],
@@ -78,7 +95,7 @@ def main():
         worst = 0.0
         for i in range(3):
             frame = _frame(rng, args.batch, args.views, h, w,
-                           0.0 if i == 0 else 1.0)
+                           0.0 if i == 0 else 1.0, uint8=args.uint8_img)
             s_exp, d_exp = det(s_exp, frame)
             s_ref, d_ref = ref(params, s_ref, frame)
             diff = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
@@ -89,13 +106,15 @@ def main():
         print("# selfcheck OK (bit-identical)")
 
 
-def _frame(rng, b, n, h, w, prev_exists):
+def _frame(rng, b, n, h, w, prev_exists, uint8=False):
     import jax.numpy as jnp
     eye = np.tile(np.eye(4, dtype=np.float32), (b, n, 1, 1))
     intr = eye.copy()
     intr[..., 0, 0] = intr[..., 1, 1] = 1.2e3
+    img = (rng.randint(0, 256, (b, n, h, w, 3)).astype(np.uint8) if uint8
+           else rng.randn(b, n, h, w, 3).astype(np.float32))
     return {
-        "img": jnp.asarray(rng.randn(b, n, h, w, 3).astype(np.float32)),
+        "img": jnp.asarray(img),
         "intrinsics": jnp.asarray(intr),
         "img2lidar": jnp.asarray(eye),
         "timestamp": jnp.full((b,), 0.5, jnp.float32),
