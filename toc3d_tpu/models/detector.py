@@ -99,7 +99,8 @@ def _motion_ctx_from_memory(cfg: DetectorConfig, memory: MemoryBank, frame):
 
 def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
                      frame, rope_tables=None, rng=None, remat=False,
-                     mask_rng=None, fused_ok: bool = True):
+                     mask_rng=None, fused_ok: bool = True,
+                     collect_block_outs: bool = False, injected=None):
     """img: (B, N, H, W, 3) images -> (feats (B, N, h, w, C), aux).
 
     img is either float32 already mean/std-normalized on the host, or raw
@@ -127,13 +128,23 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
     x = x.astype(dtype)
 
     aux = None
+    collected = None
     if cfg.is_toc3d:
         motion_ctx = _motion_ctx_from_memory(cfg, memory, frame)
-        feats, aux = toc3d_vit_forward(
+        out = toc3d_vit_forward(
             params["img_backbone"], x, cfg.backbone, motion_ctx,
             frame["prev_exists"], rope_tables=rope_tables, rng=rng,
-            remat=remat, mask_rng=mask_rng, fused_ok=fused_ok)
+            remat=remat, mask_rng=mask_rng, fused_ok=fused_ok,
+            collect_block_outs=collect_block_outs, injected=injected)
+        if collect_block_outs:
+            feats, aux, collected = out
+        else:
+            feats, aux = out
     else:
+        if collect_block_outs or injected is not None:
+            raise NotImplementedError(
+                "the two-program training split (collect/inject) targets "
+                "the ToC3D backbone; plain EVA trains via the XLA path")
         feats = eva_vit_forward(params["img_backbone"], x, cfg.backbone,
                                 rope_tables=rope_tables, remat=remat,
                                 rng=rng, fused_ok=fused_ok)
@@ -142,6 +153,8 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
     f = outs[cfg.position_level]
     fh, fw = f.shape[1], f.shape[2]
     f = f.reshape(b, n, fh, fw, -1).astype(jnp.float32)
+    if collect_block_outs:
+        return f, aux, collected
     return f, aux
 
 

@@ -170,10 +170,23 @@ def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
 # backbone forward
 # ---------------------------------------------------------------------------
 
+def injectable_sites(cfg: ToC3DViTConfig):
+    """Which forward sites the two-program training split may inject
+    (make_split_train_step): patch_embed, every accelerated (compressed)
+    block, and full blocks whose stochastic-depth rate is 0 (droppath lives
+    inside the block residuals, so a droppath-active block's precomputed
+    output would not match the backward's linearization function). Shared
+    by the collector and the injector so both programs agree."""
+    dprs = drop_path_rates(cfg)
+    return [cfg.block_is_accelerated(i) or dprs[i] <= 0.0
+            for i in range(cfg.depth)]
+
+
 def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                       prev_exists, rope_tables=None, rng=None,
                       remat: bool = False, mask_rng=None,
-                      fused_ok: bool = True):
+                      fused_ok: bool = True, collect_block_outs: bool = False,
+                      injected=None):
     """x: (BN, H, W, 3); motion_ctx: dict of memory-bank views (B-leading,
     see token_select.selector_score); prev_exists: (B,) float.
 
@@ -184,15 +197,36 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
     single differentiated train program kernel-fault the axon TPU worker
     (see eva_vit.block_forward); training takes the XLA path.
 
+    Two-program training split (runtime/train.make_split_train_step):
+    collect_block_outs=True additionally returns a third element
+    {'patch_embed': o, 'blocks': [o_i or None]} of per-site outputs (None at
+    non-injectable sites, see injectable_sites) for a later differentiated
+    pass; injected=<that structure> replaces each site's computation with
+    ops.pallas.vit_block.make_injected_op — primal from the precomputed
+    kernel output, backward via the exact XLA vjp — so the differentiated
+    program contains no Pallas custom calls.
+
     Returns (features (BN, h, w, C), aux dict with token_masks / scores /
     keep_idx / drop_idx lists — one entry per pruning layer).
     """
     if rope_tables is None:
         rope_tables = make_rope_tables(cfg)
     rope_win, rope_glb = rope_tables
-
-    x = patch_embed(params["patch_embed"], x, cfg.patch_size,
-                    fused_ok=fused_ok)
+    collected = {"blocks": []} if collect_block_outs else None
+    inj = (lambda i: None) if injected is None \
+        else (lambda i: injected["blocks"][i])
+    if injected is not None and injected.get("patch_embed") is not None:
+        from ..ops.pallas.vit_block import make_injected_op
+        from .eva_vit import _patch_embed_conv
+        ps = cfg.patch_size
+        x = make_injected_op(
+            lambda p_, x_: _patch_embed_conv(p_, x_, ps))(
+                injected["patch_embed"], params["patch_embed"], x)
+    else:
+        x = patch_embed(params["patch_embed"], x, cfg.patch_size,
+                        fused_ok=fused_ok)
+    if collect_block_outs:
+        collected["patch_embed"] = x
     if cfg.use_abs_pos:
         x = x + resize_abs_pos(params["pos_embed"], cfg.pretrain_use_cls_token,
                                (x.shape[1], x.shape[2])).astype(x.dtype)
@@ -246,15 +280,23 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
         fused = (cfg.fused_blocks and fused_ok
                  and jax.default_backend() != "cpu")
         if cfg.block_is_accelerated(i):
-            if fused and rng is None and not remat:
+            if inj(i) is not None:
+                from ..ops.pallas.vit_block import make_injected_op
+                xla_fn = (lambda ws=ws, ratio=ratio: lambda
+                          p_, x_, s_, t_: toc3d_block_forward(
+                              p_, x_, s_, cfg, ws, ratio,
+                              t_ if t_ else None))()
+                targ = tuple(tables) if (cfg.rope and tables) else ()
+                x = make_injected_op(xla_fn)(
+                    inj(i), params["blocks"][i], x, scores, targ)
+            elif fused and rng is None and not remat:
                 from ..ops.pallas.vit_block import fused_compressed_block
                 x = fused_compressed_block(
                     params["blocks"][i], x, scores, cfg.num_heads, ws, ratio,
                     tables if cfg.rope else None,
                     use_represent=cfg.use_represent_tokens,
                     rope_acc=cfg.rope_acc)
-                continue
-            if fused:
+            elif fused:
                 from ..ops.pallas.vit_block import (
                     make_trainable_compressed_block)
                 # RoPE tables travel as explicit operands (tuple, or () for
@@ -271,12 +313,22 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                     f = jax.checkpoint(f)
                 targ = tuple(tables) if (cfg.rope and tables) else ()
                 x = f(params["blocks"][i], x, scores, targ)
-                continue
-            fwd = toc3d_block_forward
-            if remat:
-                fwd = jax.checkpoint(toc3d_block_forward,
-                                     static_argnums=(3, 4, 5))
-            x = fwd(params["blocks"][i], x, scores, cfg, ws, ratio, tables)
+            else:
+                fwd = toc3d_block_forward
+                if remat:
+                    fwd = jax.checkpoint(toc3d_block_forward,
+                                         static_argnums=(3, 4, 5))
+                x = fwd(params["blocks"][i], x, scores, cfg, ws, ratio,
+                        tables)
+        elif inj(i) is not None:
+            # injectable full block (dp_rate == 0, see injectable_sites)
+            from ..ops.pallas.vit_block import make_injected_op
+            from .eva_vit import _block_forward_xla
+            xla_fn = (lambda ws=ws: lambda p_, x_, t_: _block_forward_xla(
+                p_, x_, cfg, ws, t_ if t_ else None, 0.0, None))()
+            targ = tuple(tables) if (cfg.rope and tables) else ()
+            x = make_injected_op(xla_fn)(inj(i), params["blocks"][i], x,
+                                         targ)
         else:
             brng = None if rng is None else jax.random.fold_in(rng, 1000 + i)
             fwd = block_forward
@@ -285,5 +337,12 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                                      static_argnums=(2, 3, 5, 7))
             x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng,
                     fused_ok)
+        if collect_block_outs:
+            collected["blocks"].append(x)
 
+    if collect_block_outs:
+        ok = injectable_sites(cfg)
+        collected["blocks"] = [o if ok[i] else None
+                               for i, o in enumerate(collected["blocks"])]
+        return x, aux, collected
     return x, aux

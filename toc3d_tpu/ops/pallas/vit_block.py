@@ -887,6 +887,35 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
 # kernel, the cotangents are exactly the XLA path's). This unlocks the
 # kernel win for the training forward pass while keeping autodiff exact.
 
+def make_injected_op(xla_fn):
+    """Two-program training split (VERDICT r3 #3): primal = a PRECOMPUTED
+    output `o` (produced by a separate, non-differentiated program that runs
+    the Pallas kernels), backward = the exact XLA vjp linearized at the
+    traced operands. The differentiated program then contains no Pallas
+    custom calls (the axon kernel-fault configuration) yet its forward
+    VALUES are the kernel's.
+
+    f(o, *args) -> o, with grads d(xla_fn(*args))/d(args) flowing to args
+    and zero cotangent to o. Semantics: forward values come from the fast
+    kernels, the backward is linearized at the same inputs through the XLA
+    path — the identical contract make_trainable_full_block provides inside
+    one program, relocated across the program split."""
+
+    @jax.custom_vjp
+    def f(o, *args):
+        return o
+
+    def fwd(o, *args):
+        return o, args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(xla_fn, *res)
+        return (jnp.zeros_like(g),) + vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def make_trainable_full_block(xla_fn, num_heads: int, window_size: int):
     """xla_fn(p, x, tables) -> y: the XLA-path block used for the backward.
     Returns f(p, x, tables) with a custom VJP; tables is the () or

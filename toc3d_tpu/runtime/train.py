@@ -16,6 +16,7 @@ decoder layer, gradient averaging implicit in global-batch math under pjit.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -137,7 +138,7 @@ def init_train_state(params, tx, batch_size: int,
 
 def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
                    rng, remat: bool = True, with_losses: bool = True,
-                   backbone_grad: bool = True):
+                   backbone_grad: bool = True, injected=None):
     """batch dict (B-leading; G3/G2 are static padded GT counts):
       img (B, N, H, W, 3), intrinsics/img2lidar (B, N, 4, 4),
       timestamp (B,), ego_pose/ego_pose_inv (B, 4, 4), prev_exists (B,),
@@ -159,8 +160,13 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
     # same XLA:TPU bug class as the inference bf16/fp32 one-program fault
     # behind make_infer_fn's two-program split). The XLA paths are the
     # exact-gradient reference the custom VJPs re-derive through anyway.
+    # injected: per-site backbone outputs precomputed by the Pallas program
+    # of the two-program split (make_split_train_step) — forward values from
+    # the kernels, backward linearized through the XLA path, still zero
+    # Pallas custom calls in THIS (differentiated) program.
     feats, aux = extract_img_feat(params, cfg, img, memory, batch,
-                                  rng=k_sel, remat=remat, fused_ok=False)
+                                  rng=k_sel, remat=remat, fused_ok=False,
+                                  injected=injected)
     if not backbone_grad:
         # reference runs history-frame backbones under torch.no_grad
         # (petr3d.py:262-308, num_frame_backbone_grads): head/neck-side
@@ -268,6 +274,74 @@ def compute_losses_multiframe(params, cfg: DetectorConfig,
             for k2, v in ld.items():
                 losses[f"frame_{t}_{k2}"] = v
     return sum(totals), (losses, memory)
+
+
+def collect_backbone_outs(params, cfg: DetectorConfig, memory: MemoryBank,
+                          batch, rng):
+    """Phase A of the two-program training split: run the backbone forward
+    with the Pallas kernels (non-differentiated, so the axon Pallas-in-
+    autodiff fault never arises) and return the per-site outputs
+    compute_losses(injected=...) will consume. MUST mirror compute_losses'
+    preamble exactly (same rng split, same grid-mask) so both programs see
+    identical inputs at every block boundary."""
+    from ..models.detector import extract_img_feat
+    k_mask, k_sel, _, _ = jax.random.split(rng, 4)
+    img = batch["img"]
+    if cfg.use_grid_mask:
+        img = grid_mask(k_mask, img)
+    _, _, collected = extract_img_feat(params, cfg, img, memory, batch,
+                                       rng=k_sel, remat=False, fused_ok=True,
+                                       collect_block_outs=True)
+    return collected
+
+
+def make_split_train_step(cfg: DetectorConfig, tx):
+    """Two-program train step (VERDICT r3 #3): the Pallas megakernels +
+    patchify run the backbone FORWARD in a separate non-differentiated
+    program; the differentiated program receives those outputs as inputs
+    and re-derives exact gradients through the XLA paths at the same
+    linearization points (ops.pallas.vit_block.make_injected_op). Neither
+    program contains the faulting configuration (Pallas custom call inside
+    an autodiff'd XLA:TPU module, bisected 2026-08-17).
+
+    Semantics: identical update to make_train_step up to the kernels'
+    forward rounding (the same 3e-4 envelope the inference kernels carry);
+    on CPU (kernels gated off) the collected outputs ARE the XLA values and
+    the update matches make_train_step exactly — pinned by
+    tests/test_split_train.py. Single-frame regime only (the shipped ToC3D
+    recipe); droppath-active full blocks stay inline (injectable_sites).
+
+    Returns train_step(state, batch, rng) -> (state, metrics); the two jits
+    live inside."""
+    collect = jax.jit(
+        lambda params, memory, batch, rng: collect_backbone_outs(
+            params, cfg, memory, batch, rng))
+
+    def loss_fn(params, memory, batch, rng, injected):
+        return compute_losses(params, cfg, memory, batch, rng,
+                              injected=injected)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update(state: TrainState, batch, rng, injected):
+        (total, (losses, new_memory)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.memory, batch, rng,
+                                   injected)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_memory = jax.tree_util.tree_map(jax.lax.stop_gradient, new_memory)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        if hasattr(opt_state, "total_notfinite"):
+            metrics["nonfinite_skips"] = opt_state.total_notfinite
+        return TrainState(params, opt_state, new_memory,
+                          state.step + 1), metrics
+
+    def train_step(state: TrainState, batch, rng):
+        injected = collect(state.params, state.memory, batch, rng)
+        return update(state, batch, rng, injected)
+
+    return train_step
 
 
 def make_train_step(cfg: DetectorConfig, tx):
