@@ -61,24 +61,10 @@ def make_frame(rng, b, n, h, w, prev_exists):
     }
 
 
-def bench_train(cfg, args):
-    """One full train step/s (grid-mask, ToC3D backbone with selection,
-    focal 2D head, DN, Hungarian via the device auction, AdamW)."""
-    import jax
+def make_train_batch(rng, b, n, h, w, g3=32, g2=32):
+    """Synthetic training batch: a frame plus padded 3D/2D GT (the shapes
+    build_train_sample/collate_batch would produce)."""
     import jax.numpy as jnp
-    from toc3d_tpu.models.detector import init_detector
-    from toc3d_tpu.runtime.train import (make_optimizer, init_train_state,
-                                         make_train_step)
-
-    b, n, g3, g2 = args.batch, 6, 32, 32
-    h, w = cfg.pad_shape
-    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    tx = make_optimizer(params, total_iters=1000)
-    state = init_train_state(params, tx, b, cfg)
-    step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
-
-    rng = np.random.RandomState(0)
     batch = make_frame(rng, b, n, h, w, 1.0)
     boxes = rng.randn(b, g3, 9).astype(np.float32)
     boxes[..., 3:6] = np.abs(boxes[..., 3:6]) + 1.0
@@ -94,6 +80,32 @@ def bench_train(cfg, args):
             rng.rand(b, n, g2, 2).astype(np.float32) * 300),
         "gt_valid_2d": jnp.asarray(np.ones((b, n, g2), bool)),
     })
+    return batch
+
+
+def bench_train(cfg, args):
+    """One full train step/s (grid-mask, ToC3D backbone with selection,
+    focal 2D head, DN, Hungarian via the device auction, AdamW)."""
+    import jax
+    import jax.numpy as jnp
+    from toc3d_tpu.models.detector import init_detector
+    from toc3d_tpu.runtime.train import (make_optimizer, init_train_state,
+                                         make_train_step)
+
+    b, n = args.batch, 6
+    h, w = cfg.pad_shape
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    tx = make_optimizer(params, total_iters=1000)
+    state = init_train_state(params, tx, b, cfg)
+    if getattr(args, "split_step", False):
+        from toc3d_tpu.runtime.train import make_split_train_step
+        step = make_split_train_step(cfg, tx)
+    else:
+        step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch = make_train_batch(rng, b, n, h, w)
 
     # VERDICT r2 #1 protocol: >=50 steps on the FIXED batch (overfit
     # curve), per-step loss trace kept on device and fetched once at the
@@ -119,7 +131,8 @@ def bench_train(cfg, args):
     skips = int(np.asarray(metrics.get("nonfinite_skips", 0)))
     first5, last5 = np.mean(losses[:5]), np.mean(losses[-5:])
     print(json.dumps({
-        "metric": f"{args.config} train step/s (batch {b})",
+        "metric": f"{args.config} train step/s (batch {b})"
+                  + ("+split" if getattr(args, "split_step", False) else ""),
         "value": round(iters / dt, 4),
         "unit": "steps/s",
         "vs_baseline": None,
@@ -210,6 +223,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--split-step", action="store_true",
+                    help="with --train: use the two-program split step "
+                         "(Pallas forward + XLA backward by injection)")
     ap.add_argument("--train", action="store_true",
                     help="benchmark one full train step (bf16+remat, DN + "
                          "Hungarian losses) instead of inference")

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--int8", action="store_true",
                     help="profile the int8 serving path (quant='int8')")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the jitted TRAIN step (fwd+bwd+optimizer) "
+                         "instead of inference")
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -57,24 +61,45 @@ def main():
         cfg = dataclasses.replace(
             cfg, backbone=dataclasses.replace(cfg.backbone, quant="int8"))
     h, w = cfg.pad_shape
-    b, n = 1, 6
+    b, n = args.batch, 6
     params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    state = init_state(b, cfg)
-    step = make_infer_fn(cfg)
     rng = np.random.RandomState(0)
-    frames = [make_frame(rng, b, n, h, w, 0.0 if i == 0 else 1.0)
-              for i in range(3)]
 
-    for i in range(4):
-        state, det = step(params, state, frames[i % 3])
-    np.asarray(det.scores)
+    if args.train:
+        from bench import make_train_batch
+        from toc3d_tpu.runtime.train import (make_optimizer, init_train_state,
+                                             make_train_step)
+        tx = make_optimizer(params, total_iters=1000)
+        tstate = init_train_state(params, tx, b, cfg)
+        tstep = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+        batch = make_train_batch(rng, b, n, h, w)
+        key = jax.random.PRNGKey(1)
+        for i in range(3):
+            key, k = jax.random.split(key)
+            tstate, metrics = tstep(tstate, batch, k)
+        np.asarray(metrics["total_loss"])
+        trace_dir = tempfile.mkdtemp(prefix="toc3d_prof_")
+        with jax.profiler.trace(trace_dir):
+            for i in range(args.iters):
+                key, k = jax.random.split(key)
+                tstate, metrics = tstep(tstate, batch, k)
+            np.asarray(metrics["total_loss"])
+    else:
+        state = init_state(b, cfg)
+        step = make_infer_fn(cfg)
+        frames = [make_frame(rng, b, n, h, w, 0.0 if i == 0 else 1.0)
+                  for i in range(3)]
 
-    trace_dir = tempfile.mkdtemp(prefix="toc3d_prof_")
-    with jax.profiler.trace(trace_dir):
-        for i in range(args.iters):
+        for i in range(4):
             state, det = step(params, state, frames[i % 3])
         np.asarray(det.scores)
+
+        trace_dir = tempfile.mkdtemp(prefix="toc3d_prof_")
+        with jax.profiler.trace(trace_dir):
+            for i in range(args.iters):
+                state, det = step(params, state, frames[i % 3])
+            np.asarray(det.scores)
 
     events, pid_names = parse_trace(trace_dir)
     # group by event name over XLA-op lanes

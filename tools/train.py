@@ -92,6 +92,13 @@ def main():
                          "reference default: once at end of training)")
     ap.add_argument("--eval-limit", type=int, default=0)
     # multi-host launch (reference multi_dist_train.sh:6-12 / slurm_train.sh)
+    ap.add_argument("--split-step", action="store_true",
+                    help="two-program train step (runtime/train."
+                         "make_split_train_step): backbone forward via the "
+                         "Pallas kernels in a separate non-differentiated "
+                         "program, exact XLA backward by injection — the "
+                         "faulting Pallas-in-autodiff configuration never "
+                         "compiles. Single-process only.")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize (auto-detect "
                          "cluster env: TPU pod / SLURM)")
@@ -163,7 +170,13 @@ def main():
     state = jax.device_put(state, NamedSharding(mesh, P()))
     state = state._replace(memory=jax.device_put(
         state.memory, NamedSharding(mesh, _dp(mesh))))
-    step_fn = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+    if args.split_step:
+        from toc3d_tpu.runtime.train import make_split_train_step
+        assert n_dev == 1, "--split-step is a single-device serving of the " \
+            "Pallas-forward training path; use the XLA step under meshes"
+        step_fn = make_split_train_step(cfg, tx)
+    else:
+        step_fn = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
 
     # per-host sampling: each process draws only its own lanes (lane
     # disjointness across hosts comes from the sampler's replica striding)
