@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="profile the jitted TRAIN step (fwd+bwd+optimizer) "
                          "instead of inference")
+    ap.add_argument("--split-step", action="store_true",
+                    help="with --train: profile the two-program split step "
+                         "(Pallas forward program + injected XLA backward)")
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
@@ -72,7 +75,11 @@ def main():
                                              make_train_step)
         tx = make_optimizer(params, total_iters=1000)
         tstate = init_train_state(params, tx, b, cfg)
-        tstep = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+        if args.split_step:
+            from toc3d_tpu.runtime.train import make_split_train_step
+            tstep = make_split_train_step(cfg, tx)
+        else:
+            tstep = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
         batch = make_train_batch(rng, b, n, h, w)
         key = jax.random.PRNGKey(1)
         for i in range(3):
