@@ -102,7 +102,10 @@ def bench_train(cfg, args):
         from toc3d_tpu.runtime.train import make_split_train_step
         step = make_split_train_step(cfg, tx)
     else:
-        step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+        vs = {"auto": None, "on": True, "off": False}[
+            getattr(args, "view_scan", "auto")]
+        step = jax.jit(make_train_step(cfg, tx, view_scan=vs),
+                       donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
     batch = make_train_batch(rng, b, n, h, w)
@@ -229,6 +232,11 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark one full train step (bf16+remat, DN + "
                          "Hungarian losses) instead of inference")
+    ap.add_argument("--view-scan", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="with --train: lax.scan the backbone over camera "
+                         "views (auto: on at 1600x800 where the unscanned "
+                         "backward overflows HBM)")
     ap.add_argument("--sweep", action="store_true",
                     help="bench every baseline/fast/faster family and "
                          "write PERF.md (compression-payoff table)")

@@ -100,7 +100,8 @@ def _motion_ctx_from_memory(cfg: DetectorConfig, memory: MemoryBank, frame):
 def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
                      frame, rope_tables=None, rng=None, remat=False,
                      mask_rng=None, fused_ok: bool = True,
-                     collect_block_outs: bool = False, injected=None):
+                     collect_block_outs: bool = False, injected=None,
+                     view_scan: bool = False):
     """img: (B, N, H, W, 3) images -> (feats (B, N, h, w, C), aux).
 
     img is either float32 already mean/std-normalized on the host, or raw
@@ -116,6 +117,20 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
     fused_ok: the train step passes False — Pallas kernels compiled into
     the single differentiated train program kernel-fault the axon TPU
     worker (eva_vit.block_forward docstring); inference keeps them.
+
+    view_scan: run the backbone as a lax.scan over the N camera views
+    instead of one batched (B*N)-row pass. The backbone never mixes
+    views (window/global attention and the token selector are all
+    per-row; cross-view interaction happens only in the head), so this
+    is the same function with sequentialized lifetimes: peak HBM for the
+    training backward drops ~N-fold (param grads accumulate through the
+    scan transpose). Used by the train step at 1600x800, where the
+    unscanned fwd+bwd needs 19.6 GB of HLO temps vs the chip's 15.75 GB
+    (block backwards' lifetimes overlap across layers). Per-view RNG
+    keys are fold_in-split, so selector-noise/droppath draws differ from
+    the unscanned path's single batched draw — same distribution, not
+    bit-identical. Incompatible with the two-program split's
+    collect/inject machinery (whole-(B*N) site outputs).
     """
     b, n, h, w, c = img.shape
     x = img.reshape(b * n, h, w, c)
@@ -129,7 +144,47 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
 
     aux = None
     collected = None
-    if cfg.is_toc3d:
+    if view_scan:
+        if collect_block_outs or injected is not None:
+            raise NotImplementedError(
+                "view_scan is incompatible with the two-program split's "
+                "collect/inject machinery (per-site outputs are whole-(B*N))")
+        motion_ctx = (_motion_ctx_from_memory(cfg, memory, frame)
+                      if cfg.is_toc3d else None)
+        xs = x.reshape(b, n, h, w, -1).transpose(1, 0, 2, 3, 4)
+        rngs = None if rng is None else jax.random.split(rng, n)
+        mrngs = None if mask_rng is None else jax.random.split(mask_rng, n)
+
+        def one_view(xv, kv, mkv):
+            if cfg.is_toc3d:
+                return toc3d_vit_forward(
+                    params["img_backbone"], xv, cfg.backbone, motion_ctx,
+                    frame["prev_exists"], rope_tables=rope_tables, rng=kv,
+                    remat=remat, mask_rng=mkv, fused_ok=fused_ok)
+            return eva_vit_forward(params["img_backbone"], xv, cfg.backbone,
+                                   rope_tables=rope_tables, remat=remat,
+                                   rng=kv, fused_ok=fused_ok), None
+
+        def body(carry, inp):
+            xv = inp[0]
+            rest = inp[1:]
+            kv = mkv = None
+            if rngs is not None:
+                kv, rest = rest[0], rest[1:]
+            if mrngs is not None:
+                mkv = rest[0]
+            return carry, one_view(xv, kv, mkv)
+
+        ins = ((xs,) + (() if rngs is None else (rngs,))
+               + (() if mrngs is None else (mrngs,)))
+        _, (feats_s, aux_s) = jax.lax.scan(body, None, ins)
+        # scan stacks view-major (N, B, ...); downstream is b-major (B*N)
+        feats = jnp.moveaxis(feats_s, 1, 0).reshape(
+            (b * n,) + feats_s.shape[2:])
+        aux = jax.tree_util.tree_map(
+            lambda a: jnp.moveaxis(a, 1, 0).reshape((b * n,) + a.shape[2:]),
+            aux_s)
+    elif cfg.is_toc3d:
         motion_ctx = _motion_ctx_from_memory(cfg, memory, frame)
         out = toc3d_vit_forward(
             params["img_backbone"], x, cfg.backbone, motion_ctx,

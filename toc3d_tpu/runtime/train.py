@@ -138,7 +138,8 @@ def init_train_state(params, tx, batch_size: int,
 
 def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
                    rng, remat: bool = True, with_losses: bool = True,
-                   backbone_grad: bool = True, injected=None):
+                   backbone_grad: bool = True, injected=None,
+                   view_scan: bool = False):
     """batch dict (B-leading; G3/G2 are static padded GT counts):
       img (B, N, H, W, 3), intrinsics/img2lidar (B, N, 4, 4),
       timestamp (B,), ego_pose/ego_pose_inv (B, 4, 4), prev_exists (B,),
@@ -166,7 +167,7 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
     # Pallas custom calls in THIS (differentiated) program.
     feats, aux = extract_img_feat(params, cfg, img, memory, batch,
                                   rng=k_sel, remat=remat, fused_ok=False,
-                                  injected=injected)
+                                  injected=injected, view_scan=view_scan)
     if not backbone_grad:
         # reference runs history-frame backbones under torch.no_grad
         # (petr3d.py:262-308, num_frame_backbone_grads): head/neck-side
@@ -236,7 +237,8 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
 
 def compute_losses_multiframe(params, cfg: DetectorConfig,
                               memory: MemoryBank, batch, rng,
-                              remat: bool = True):
+                              remat: bool = True,
+                              view_scan: bool = False):
     """Sliding-window multi-frame training (reference petr3d.py:262-308,
     obtain_history_memory / forward_train with queue_length > 1).
 
@@ -264,7 +266,8 @@ def compute_losses_multiframe(params, cfg: DetectorConfig,
         total, (ld, memory) = compute_losses(params, cfg, memory, frame, k,
                                              remat=remat,
                                              with_losses=loss_frame,
-                                             backbone_grad=bb_grad_frame)
+                                             backbone_grad=bb_grad_frame,
+                                             view_scan=view_scan)
         if not grad_frame:
             total = jax.lax.stop_gradient(total)
             ld = jax.tree_util.tree_map(jax.lax.stop_gradient, ld)
@@ -344,13 +347,27 @@ def make_split_train_step(cfg: DetectorConfig, tx):
     return train_step
 
 
-def make_train_step(cfg: DetectorConfig, tx):
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+def auto_view_scan(cfg: DetectorConfig) -> bool:
+    """Default view_scan policy: scan the backbone over camera views when
+    the resolution is large enough that the unscanned fwd+bwd overflows
+    the chip's HBM (measured: 1600x800 needs 19.6 GB of HLO temps vs
+    v5e's 15.75 GB; 800x320 fits comfortably and the batched-window
+    matmuls are faster unscanned)."""
+    h, w = cfg.pad_shape
+    return h * w > 500_000
+
+
+def make_train_step(cfg: DetectorConfig, tx, view_scan: Optional[bool] = None):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    view_scan: None -> auto_view_scan(cfg); see extract_img_feat."""
+    if view_scan is None:
+        view_scan = auto_view_scan(cfg)
 
     def train_step(state: TrainState, batch, rng):
         (total, (losses, new_memory)), grads = jax.value_and_grad(
             compute_losses, has_aux=True)(state.params, cfg, state.memory,
-                                          batch, rng)
+                                          batch, rng, view_scan=view_scan)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_memory = jax.tree_util.tree_map(jax.lax.stop_gradient, new_memory)

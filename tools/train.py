@@ -99,6 +99,11 @@ def main():
                          "program, exact XLA backward by injection — the "
                          "faulting Pallas-in-autodiff configuration never "
                          "compiles. Single-process only.")
+    ap.add_argument("--view-scan", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="lax.scan the backbone over camera views in the "
+                         "train step (auto: on at 1600x800, where the "
+                         "unscanned backward overflows the chip's HBM)")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize (auto-detect "
                          "cluster env: TPU pod / SLURM)")
@@ -176,7 +181,9 @@ def main():
             "Pallas-forward training path; use the XLA step under meshes"
         step_fn = make_split_train_step(cfg, tx)
     else:
-        step_fn = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+        vs = {"auto": None, "on": True, "off": False}[args.view_scan]
+        step_fn = jax.jit(make_train_step(cfg, tx, view_scan=vs),
+                          donate_argnums=(0,))
 
     # per-host sampling: each process draws only its own lanes (lane
     # disjointness across hosts comes from the sampler's replica striding)
