@@ -98,13 +98,18 @@ def bench_train(cfg, args):
     jax.block_until_ready(params)
     tx = make_optimizer(params, total_iters=1000)
     state = init_train_state(params, tx, b, cfg)
+    vscan = False
     if getattr(args, "split_step", False):
         from toc3d_tpu.runtime.train import make_split_train_step
         step = make_split_train_step(cfg, tx)
     else:
+        from toc3d_tpu.runtime.train import auto_view_scan
         vs = {"auto": None, "on": True, "off": False}[
             getattr(args, "view_scan", "auto")]
-        step = jax.jit(make_train_step(cfg, tx, view_scan=vs),
+        vscan = auto_view_scan(cfg) if vs is None else vs
+        step = jax.jit(make_train_step(cfg, tx, view_scan=vs,
+                                       remat=not getattr(args, "no_remat",
+                                                         False)),
                        donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
@@ -135,7 +140,9 @@ def bench_train(cfg, args):
     first5, last5 = np.mean(losses[:5]), np.mean(losses[-5:])
     print(json.dumps({
         "metric": f"{args.config} train step/s (batch {b})"
-                  + ("+split" if getattr(args, "split_step", False) else ""),
+                  + ("+split" if getattr(args, "split_step", False) else "")
+                  + ("+vscan" if vscan else "")
+                  + ("+noremat" if getattr(args, "no_remat", False) else ""),
         "value": round(iters / dt, 4),
         "unit": "steps/s",
         "vs_baseline": None,
@@ -237,6 +244,10 @@ def main():
                     help="with --train: lax.scan the backbone over camera "
                          "views (auto: on at 1600x800 where the unscanned "
                          "backward overflows HBM)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="with --train: disable per-block/per-layer "
+                         "jax.checkpoint (speed/memory trade; view-scan "
+                         "frees the HBM that remat was buying)")
     ap.add_argument("--sweep", action="store_true",
                     help="bench every baseline/fast/faster family and "
                          "write PERF.md (compression-payoff table)")

@@ -87,6 +87,31 @@ def test_train_step_view_scan_runs_and_updates():
     assert d > 0
 
 
+def test_train_step_no_remat_matches_remat():
+    # remat is a memory/speed trade, not a semantic one: the first update
+    # from the remat and no-remat steps must match to numerical noise.
+    cfg = tiny_detector()
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, total_iters=100)
+    batch = make_batch(np.random.RandomState(0), 1, 2, *cfg.pad_shape)
+
+    def one(remat):
+        state = init_train_state(params, tx, 1, cfg)
+        step = jax.jit(make_train_step(cfg, tx, view_scan=True, remat=remat))
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["total_loss"]), state.params
+
+    l0, p0 = one(True)
+    l1, p1 = one(False)
+    assert np.isfinite(l0) and np.isfinite(l1)
+    np.testing.assert_allclose(l0, l1, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(p0),
+                     jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=5e-4, rtol=5e-3)
+
+
 def test_auto_view_scan_policy():
     cfg = tiny_detector()
     assert auto_view_scan(cfg) is False          # 64x128

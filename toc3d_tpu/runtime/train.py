@@ -357,17 +357,23 @@ def auto_view_scan(cfg: DetectorConfig) -> bool:
     return h * w > 500_000
 
 
-def make_train_step(cfg: DetectorConfig, tx, view_scan: Optional[bool] = None):
+def make_train_step(cfg: DetectorConfig, tx, view_scan: Optional[bool] = None,
+                    remat: bool = True):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
-    view_scan: None -> auto_view_scan(cfg); see extract_img_feat."""
+    view_scan: None -> auto_view_scan(cfg); see extract_img_feat.
+    remat: per-block/per-decoder-layer jax.checkpoint (default on — the
+    reference trains with `with_cp=True` everywhere). view_scan already
+    cuts peak HBM ~N-fold, so remat=False is a measurable speed knob at
+    1600x800 (bench.py --no-remat)."""
     if view_scan is None:
         view_scan = auto_view_scan(cfg)
 
     def train_step(state: TrainState, batch, rng):
         (total, (losses, new_memory)), grads = jax.value_and_grad(
             compute_losses, has_aux=True)(state.params, cfg, state.memory,
-                                          batch, rng, view_scan=view_scan)
+                                          batch, rng, remat=remat,
+                                          view_scan=view_scan)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_memory = jax.tree_util.tree_map(jax.lax.stop_gradient, new_memory)

@@ -2,7 +2,9 @@
 """Profile the backbone+neck program on the real TPU and print a per-op-class
 time breakdown parsed straight from the jax.profiler trace (no tensorboard).
 
-Usage: python tools/profile_backbone.py [--config ToC3D_faster_1600] [--head]
+Usage: python tools/profile_backbone.py [--config ToC3D_faster_1600]
+(the trace covers the whole infer step, so both the backbone and head
+programs appear — read per-program totals from the jit_* lane events)
 """
 import argparse
 import collections
@@ -37,8 +39,6 @@ def parse_trace(trace_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ToC3D_faster_1600")
-    ap.add_argument("--head", action="store_true",
-                    help="profile the head program instead of backbone")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--int8", action="store_true",
