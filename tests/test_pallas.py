@@ -67,6 +67,58 @@ def test_fused_compressed_block_matches_xla():
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_keep_count_mxu_align():
+    from toc3d_tpu.models.token_select import keep_count
+    # reference semantics when off
+    assert keep_count(256, 0.5) == 128
+    assert keep_count(256, 0.4) == 102
+    # the canonical pessimal case: ws=16 / ratio .5 with a rep token
+    # (k+1 = 129 -> one over the 128-lane tile) drops one token
+    assert keep_count(256, 0.5, n_rep=1, mxu_align=True) == 127
+    # no rep token: k = 128 tiles exactly, no adjustment
+    assert keep_count(256, 0.5, n_rep=0, mxu_align=True) == 128
+    # non-pessimal ratios unchanged
+    assert keep_count(256, 0.4, n_rep=1, mxu_align=True) == 102
+    assert keep_count(256, 0.3, n_rep=1, mxu_align=True) == 76
+    assert keep_count(400, 0.5, n_rep=1, mxu_align=True) == 200
+    # never drops below 1
+    assert keep_count(2, 0.5, n_rep=0, mxu_align=True) == 1
+
+
+def test_fused_compressed_block_align_k_matches_xla():
+    """mxu_align_k at a shape where it fires (ws=16, ratio .5 -> k=127):
+    kernel (interpret) == XLA block path, and both differ from the
+    unaligned selection only by the one dropped token."""
+    from toc3d_tpu.ops.pallas.vit_block import fused_compressed_block
+    from toc3d_tpu.models.toc3d_vit import (toc3d_block_forward,
+                                            ToC3DViTConfig)
+
+    rng = np.random.RandomState(3)
+    b, h, w, c, heads, ws = 1, 16, 16, 32, 2, 16
+    p = _block_params(jax.random.PRNGKey(3), c, 64)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
+    tables = build_rope_table(c // heads // 2, ws, ws)
+
+    cfg = ToC3DViTConfig(
+        embed_dim=c, num_heads=heads, mlp_ratio=2.0, window_size=ws,
+        pruning_loc=(0,), token_ratio=(0.5,), global_attn_indexes=(9,),
+        use_represent_tokens=True, rope_acc=True, mxu_align_k=True)
+    ref = toc3d_block_forward(p, x, scores, cfg, ws, 0.5, tables)
+    out = fused_compressed_block(p, x, scores, heads, ws, 0.5, tables,
+                                 use_represent=True, rope_acc=True,
+                                 interpret=True, align_k=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # aligned selection differs from strict-parity selection
+    cfg_off = ToC3DViTConfig(
+        embed_dim=c, num_heads=heads, mlp_ratio=2.0, window_size=ws,
+        pruning_loc=(0,), token_ratio=(0.5,), global_attn_indexes=(9,),
+        use_represent_tokens=True, rope_acc=True, mxu_align_k=False)
+    ref_off = toc3d_block_forward(p, x, scores, cfg_off, ws, 0.5, tables)
+    assert not np.allclose(np.asarray(ref), np.asarray(ref_off))
+
+
 def test_fused_blocks_flat_fallback_matches_xla(monkeypatch):
     """ws % 8 != 0 normally takes the stripe path; the flat
     window-partition fallback must produce the same results (both full and

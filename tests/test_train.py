@@ -100,6 +100,41 @@ def test_optimizer_backbone_labels_cover_every_leaf():
     assert n_bb > 0 and n_bb < len(flat)
 
 
+def test_skip_on_nonfinite_optimizer():
+    """Norm-keyed skip transform: finite steps update, a NaN-grad step is
+    a no-op (zero updates, untouched inner state, counter +1), and the
+    next finite step proceeds normally."""
+    import optax
+    from toc3d_tpu.runtime.train import skip_on_nonfinite
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    tx = skip_on_nonfinite(optax.chain(optax.clip_by_global_norm(1.0),
+                                       optax.adamw(1e-2)))
+    st = tx.init(params)
+    g = {"w": jnp.full((4,), 0.5), "b": jnp.ones((2,))}
+    u1, st1 = tx.update(g, st, params)
+    assert int(st1.total_notfinite) == 0
+    assert float(jnp.abs(u1["w"]).max()) > 0
+
+    for bad in (jnp.nan, jnp.inf, -jnp.inf):
+        gbad = {"w": jnp.array([bad, 0, 0, 0], jnp.float32),
+                "b": jnp.ones((2,))}
+        u2, st2 = tx.update(gbad, st1, params)
+        assert int(st2.total_notfinite) == 1
+        assert float(jnp.abs(u2["w"]).max()) == 0
+        assert float(jnp.abs(u2["b"]).max()) == 0
+        for a, b in zip(jax.tree_util.tree_leaves(st1.inner_state),
+                        jax.tree_util.tree_leaves(st2.inner_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the bad step left the inner state untouched, so the next finite step
+    # must produce exactly what stepping from st1 would have
+    u3, st3 = tx.update(g, st2, params)
+    u3_ref, _ = tx.update(g, st1, params)
+    assert int(st3.total_notfinite) == 1
+    np.testing.assert_allclose(np.asarray(u3["w"]), np.asarray(u3_ref["w"]),
+                               rtol=1e-6)
+
+
 def test_optimizer_backbone_lr_mult_behavioral():
     """AdamW's first-step update magnitude ~= lr per element, so the
     backbone/rest update ratio must be ~backbone_lr_mult."""

@@ -32,7 +32,7 @@ from ..ops.window import window_partition, window_unpartition
 from .eva_vit import (EVAViTConfig, LN_EPS, init_eva_vit, make_rope_tables,
                       patch_embed, block_forward, drop_path_rates)
 from .token_select import (SelectorConfig, init_selector, selector_score,
-                           sample_topk, soft_mask)
+                           sample_topk, soft_mask, keep_count)
 
 
 @dataclass(frozen=True)
@@ -57,6 +57,13 @@ class ToC3DViTConfig(EVAViTConfig):
     #               every config), so eval is stochastic; needs a mask rng;
     #   'hard'    — reference hard_score=True branch: 0/1 top-k mask.
     eval_mask: str = "softmax"
+    # TPU-first divergence (default ON): drop one kept token per window when
+    # k + 1 lands exactly one row over a 128-lane MXU tile (ws=16/ratio=.5:
+    # 129 -> 128), halving the compressed attention's padded lanes and
+    # trimming its padded rows. Selection-identical otherwise; the dropped
+    # 128th token still feeds the representative-token merge. Set False for
+    # strict reference keep counts (token_select.keep_count).
+    mxu_align_k: bool = True
 
     def __post_init__(self):
         overlap = set(self.pruning_loc) & set(self.global_attn_indexes)
@@ -126,8 +133,9 @@ def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
     xw = xw.reshape(nw, n, c)
     sw = sw.reshape(nw, n)
 
-    slow_score, fast_score, slow_idx, fast_idx = sample_topk(sw, ratio)
-    k = slow_idx.shape[-1]
+    k = keep_count(n, ratio, n_rep=1 if cfg.use_represent_tokens else 0,
+                   mxu_align=cfg.mxu_align_k)
+    slow_score, fast_score, slow_idx, fast_idx = sample_topk(sw, ratio, k=k)
 
     slow = batch_index_select(xw, slow_idx)                      # (NW, k, C)
     fast = batch_index_select(xw, fast_idx)                      # (NW, n-k, C)
@@ -295,7 +303,7 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                     params["blocks"][i], x, scores, cfg.num_heads, ws, ratio,
                     tables if cfg.rope else None,
                     use_represent=cfg.use_represent_tokens,
-                    rope_acc=cfg.rope_acc)
+                    rope_acc=cfg.rope_acc, align_k=cfg.mxu_align_k)
             elif fused:
                 from ..ops.pallas.vit_block import (
                     make_trainable_compressed_block)
@@ -308,7 +316,8 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                               t_ if t_ else None))()
                 f = make_trainable_compressed_block(
                     xla_fn, cfg.num_heads, ws, ratio,
-                    cfg.use_represent_tokens, cfg.rope_acc)
+                    cfg.use_represent_tokens, cfg.rope_acc,
+                    align_k=cfg.mxu_align_k)
                 if remat:
                     f = jax.checkpoint(f)
                 targ = tuple(tables) if (cfg.rope and tables) else ()

@@ -233,13 +233,34 @@ def selector_score(p, cfg: SelectorConfig, tokens_hw, mask, motion_ctx,
 # sampling
 # ---------------------------------------------------------------------------
 
-def sample_topk(scores, ratio: float):
+def keep_count(n: int, ratio: float, n_rep: int = 0,
+               mxu_align: bool = False) -> int:
+    """Static keep count for a window of n tokens.
+
+    Reference semantics: k = int(n * ratio) (toc3d_utils.py:131-143).
+    mxu_align (TPU-first divergence, ToC3DViTConfig.mxu_align_k): when the
+    attended row count k + n_rep lands exactly ONE over a 128-lane MXU tile
+    (k + n_rep ≡ 1 mod 128), drop one token. The canonical case is
+    ws=16 / ratio=0.5: k+1 = 129 rows pad to 144x256 in the compressed
+    kernel's attention (2x padded lanes, +12% padded rows); 128 rows tile
+    exactly. The dropped 128th-ranked token still reaches the slow path
+    through the representative-token merge. Measured profile motivation:
+    PERF.md ViT-B section."""
+    k = int(n * ratio)
+    if mxu_align and k > 1 and (k + n_rep) % 128 == 1:
+        k -= 1
+    return k
+
+
+def sample_topk(scores, ratio: float, k: Optional[int] = None):
     """scores: (B, N) -> keep/drop (scores, idx) via full descending sort.
 
-    keep count = int(N * ratio) — static (toc3d_utils.py:131-143).
+    keep count = int(N * ratio) — static (toc3d_utils.py:131-143) — unless
+    an explicit k overrides it (keep_count with mxu_align).
     """
     n = scores.shape[-1]
-    k = int(n * ratio)
+    if k is None:
+        k = int(n * ratio)
     neg = -scores
     sorted_neg, sorted_idx = jax.lax.sort_key_val(neg, _iota_like(scores), dimension=-1)
     sorted_score = -sorted_neg

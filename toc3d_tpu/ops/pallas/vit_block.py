@@ -775,14 +775,15 @@ def build_gather_matrix(slow_idx, fast_idx, fast_score, n: int, k_rows: int,
 
 def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
                            ratio: float, rope_tables, use_represent: bool,
-                           rope_acc: bool, interpret=None):
+                           rope_acc: bool, interpret=None,
+                           align_k: bool = False):
     """Token-compressed ToC3D block as one kernel.
 
     x: (B, H, W, C); scores: (B, H*W) importance (log-prob channel 0).
     Math parity with models/toc3d_vit.py:toc3d_block_forward (reference
     toc3d_eva_vit.py:395-473). Returns (B, H, W, C).
     """
-    from ...models.token_select import sample_topk
+    from ...models.token_select import sample_topk, keep_count
     from ..window import window_partition
 
     if interpret is None:
@@ -795,8 +796,9 @@ def fused_compressed_block(p, x, scores, num_heads: int, window_size: int,
     sw, _ = window_partition(scores.reshape(b, h, w, 1), ws, pad_value=-1e6)
     nw = sw.shape[0]
     sw = sw.reshape(nw, n)
-    slow_score, fast_score, slow_idx, fast_idx = sample_topk(sw, ratio)
-    k = slow_idx.shape[-1]
+    k = keep_count(n, ratio, n_rep=1 if use_represent else 0,
+                   mxu_align=align_k)
+    slow_score, fast_score, slow_idx, fast_idx = sample_topk(sw, ratio, k=k)
     has_rep = use_represent and (n - k) > 0
     n_valid = k + 1 if has_rep else k
     sub = 16 if x.dtype == jnp.bfloat16 else 8
@@ -943,7 +945,8 @@ def make_trainable_full_block(xla_fn, num_heads: int, window_size: int):
 
 def make_trainable_compressed_block(xla_fn, num_heads: int,
                                     window_size: int, ratio: float,
-                                    use_represent: bool, rope_acc: bool):
+                                    use_represent: bool, rope_acc: bool,
+                                    align_k: bool = False):
     """Same pattern for the token-compressed block; scores participate in
     the gradient (token-selection supervision flows through the soft mask,
     not the hard routing, so the XLA-path vjp is the reference gradient).
@@ -955,7 +958,7 @@ def make_trainable_compressed_block(xla_fn, num_heads: int,
         return fused_compressed_block(p, x, scores, num_heads, window_size,
                                       ratio, tables if tables else None,
                                       use_represent=use_represent,
-                                      rope_acc=rope_acc)
+                                      rope_acc=rope_acc, align_k=align_k)
 
     def fwd(p, x, scores, tables):
         return f(p, x, scores, tables), (p, x, scores, tables)

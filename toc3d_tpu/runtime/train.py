@@ -58,6 +58,48 @@ def _is_backbone(path) -> bool:
                or getattr(p, "name", None) == "img_backbone" for p in path)
 
 
+class SkipNonFiniteState(NamedTuple):
+    total_notfinite: jnp.ndarray   # int32 running count of skipped steps
+    inner_state: tuple
+
+
+def skip_on_nonfinite(inner):
+    """optax.apply_if_finite, keyed on isfinite(global_norm(grads)) instead
+    of a per-leaf finiteness sweep.
+
+    Equivalent detection: any NaN/±Inf leaf makes the sum of squares
+    NaN/Inf, so the norm is non-finite iff some leaf is (plus the harmless
+    corner where a finite gradient's norm overflows f32, ||g|| > ~1.8e19 —
+    at clip_norm 35 such a step is garbage anyway and skipping it is fine).
+    Why: the train step already computes optax.global_norm(grads) for
+    metrics and clip_by_global_norm computes it again inside the chain, so
+    XLA CSEs this check to ~nothing, while apply_if_finite's per-leaf sweep
+    measured 23 ms/step (6%) at 800x320 (708 is-finite reduce fusions,
+    tools/profile_backbone.py --train). Branchless: the inner update runs
+    unconditionally and a scalar select keeps the old state/zero update on
+    the bad step — the selects fuse into the inner update's elementwise
+    chain (no lax.cond, whose operands would materialize both trees).
+    State exposes the same total_notfinite telemetry the train steps log.
+    """
+    def init_fn(params):
+        return SkipNonFiniteState(jnp.zeros((), jnp.int32),
+                                  inner.init(params))
+
+    def update_fn(updates, state, params=None):
+        ok = jnp.isfinite(optax.global_norm(updates))
+        new_updates, new_inner = inner.update(updates, state.inner_state,
+                                              params)
+        out_updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), new_updates)
+        out_inner = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old),
+            new_inner, state.inner_state)
+        return out_updates, SkipNonFiniteState(
+            state.total_notfinite + (1 - ok.astype(jnp.int32)), out_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def param_labels(params):
     """'backbone' / 'rest' LR-group label per leaf (paramwise custom_keys
     img_backbone lr_mult 0.1, ToC3D_fast.py:256). Exposed for tests: a typo
@@ -114,15 +156,14 @@ def make_optimizer(params, base_lr=1e-4, weight_decay=0.01, clip_norm=35.0,
     # Skip steps whose gradients are non-finite instead of poisoning the
     # params — the reference's Fp16OptimizerHook does exactly this (mmcv
     # dynamic loss scaling skips the optimizer step on inf/nan grads,
-    # ToC3D_fast.py:263, and it skips indefinitely). NOTE on
-    # max_consecutive_errors: optax does NOT raise at the threshold — it
-    # "gives up and ACCEPTS" the non-finite update, poisoning the params.
-    # So the threshold must be effectively infinite and divergence must be
-    # surfaced externally by monitoring metrics["nonfinite_skips"]
+    # ToC3D_fast.py:263, and it skips indefinitely). skip_on_nonfinite is
+    # our norm-keyed, branchless apply_if_finite (see its docstring: the
+    # per-leaf sweep cost 6% of the step; optax's max_consecutive_errors
+    # would also eventually ACCEPT a bad update, which this never does).
+    # Divergence is surfaced externally by metrics["nonfinite_skips"]
     # (tools/train.py logs it every iteration; bench.py --train asserts
     # it is 0).
-    return optax.apply_if_finite(optax.chain(*chain),
-                                 max_consecutive_errors=int(jnp.iinfo(jnp.int32).max))
+    return skip_on_nonfinite(optax.chain(*chain))
 
 
 def init_train_state(params, tx, batch_size: int,
