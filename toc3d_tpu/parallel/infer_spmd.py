@@ -69,6 +69,11 @@ def product_mesh(num_views: int = 6, n_data: int | None = None,
         d = limit // k
     else:
         d = n_data
+        if not 1 <= d <= limit:
+            raise ValueError(
+                f"n_data={d} data shards do not fit the {limit} available "
+                f"device(s) (ADVICE r4: limit//d == 0 used to surface as a "
+                f"bare max() error inside _view_fit)")
         k = _view_fit(num_views, limit // d)
     assert d * k <= limit, (d, k, limit)
     return Mesh(np.asarray(devs[:d * k]).reshape(d, k), ("data", "view"))
