@@ -118,3 +118,78 @@ def test_auto_view_scan_policy():
     import dataclasses
     big = dataclasses.replace(cfg, pad_shape=(640, 1600))
     assert auto_view_scan(big) is True
+
+
+def test_view_scan_chunked_matches_unscanned_eval():
+    # view_scan=<int> scans CHUNKS of views; same function, b-major packing
+    cfg, params, memory, frame = _setup(n=4)
+
+    def run(view_scan):
+        return extract_img_feat(params, cfg, frame["img"], memory, frame,
+                                rng=None, remat=False, fused_ok=False,
+                                view_scan=view_scan)
+
+    feats0, aux0 = jax.jit(lambda: run(False))()
+    feats2, aux2 = jax.jit(lambda: run(2))()
+    np.testing.assert_allclose(np.asarray(feats0), np.asarray(feats2),
+                               atol=1e-5, rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(aux0),
+                     jax.tree_util.tree_leaves(aux2)):
+        assert a.shape == b_.shape
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_view_scan_chunk_must_divide():
+    cfg, params, memory, frame = _setup(n=3)
+    import pytest
+    with pytest.raises(ValueError, match="must divide"):
+        jax.eval_shape(lambda: extract_img_feat(
+            params, cfg, frame["img"], memory, frame, rng=None,
+            fused_ok=False, view_scan=2))
+
+
+def test_attn_chunk_matches_unchunked():
+    # bounded-memory attention is the same math: outputs and grads equal
+    # (the chunk count here forces a zero-padded tail window)
+    cfg, params, memory, frame = _setup(n=3)
+
+    def loss(p, attn_chunk):
+        feats, _ = extract_img_feat(p, cfg, frame["img"], memory, frame,
+                                    rng=None, remat=True, fused_ok=False,
+                                    attn_chunk=attn_chunk)
+        return jnp.sum(feats.astype(jnp.float32) ** 2)
+
+    (l0, g0) = jax.jit(jax.value_and_grad(lambda p: loss(p, None)))(params)
+    (l1, g1) = jax.jit(jax.value_and_grad(lambda p: loss(p, 4)))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=2e-3, rtol=1e-3)
+
+
+def test_train_step_attn_chunk_matches_plain():
+    # full train step with attn_chunk: identical first update
+    cfg = tiny_detector()
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, total_iters=100)
+    batch = make_batch(np.random.RandomState(0), 1, 2, *cfg.pad_shape)
+
+    def one(attn_chunk):
+        state = init_train_state(params, tx, 1, cfg)
+        step = jax.jit(make_train_step(cfg, tx, view_scan=False,
+                                       attn_chunk=attn_chunk))
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["total_loss"]), state.params
+
+    l0, p0 = one(None)
+    l1, p1 = one(2)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(p0),
+                     jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=5e-4, rtol=5e-3)

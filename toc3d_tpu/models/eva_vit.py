@@ -230,12 +230,16 @@ def drop_path(rng, x, rate: float):
 
 
 def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables,
-                  dp_rate: float = 0.0, rng=None, fused_ok: bool = True):
+                  dp_rate: float = 0.0, rng=None, fused_ok: bool = True,
+                  attn_chunk: Optional[int] = None):
     """Plain (non-compressed) EVA block. x: (B, H, W, C).
 
     dp_rate/rng: train-time stochastic depth (Block.forward drop_path,
     eva_vit.py:262-263; the reference skips drop_path in the accelerated
     slow path, toc3d_eva_vit.py:366-386, and so do we).
+    attn_chunk: train-time bounded-memory attention (ops.attention
+    _sdpa_chunked) — chunks the window-batch axis so the f32 probs never
+    materialize whole.
     fused_ok: the train step passes False — Pallas custom calls inside the
     single differentiated train program kernel-fault the axon TPU worker
     (same XLA:TPU bug class as the documented bf16-backbone + fp32-head
@@ -259,11 +263,12 @@ def block_forward(p, x, cfg: EVAViTConfig, window_size: int, rope_tables,
                 xla_fn, cfg.num_heads, window_size)(
                     p, x, tuple(rope_tables) if rope_tables else ())
     return _block_forward_xla(p, x, cfg, window_size, rope_tables, dp_rate,
-                              rng)
+                              rng, attn_chunk)
 
 
 def _block_forward_xla(p, x, cfg: EVAViTConfig, window_size: int,
-                       rope_tables, dp_rate: float = 0.0, rng=None):
+                       rope_tables, dp_rate: float = 0.0, rng=None,
+                       attn_chunk: Optional[int] = None):
     if "w_scale" in p["attn"]["q_proj"]:
         raise ValueError(
             "int8-quantized block params reached the XLA block path — the "
@@ -274,7 +279,8 @@ def _block_forward_xla(p, x, cfg: EVAViTConfig, window_size: int,
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=LN_EPS)
     xw, padded = window_partition(x, window_size)
-    xw = eva_attention(p["attn"], xw, cfg.num_heads, rope_tables)
+    xw = eva_attention(p["attn"], xw, cfg.num_heads, rope_tables,
+                       attn_chunk=attn_chunk)
     x = window_unpartition(xw, window_size, padded, (h, w))
     r1 = None if rng is None else jax.random.fold_in(rng, 0)
     r2 = None if rng is None else jax.random.fold_in(rng, 1)
@@ -294,12 +300,14 @@ def drop_path_rates(cfg: EVAViTConfig):
 
 
 def eva_vit_forward(params, x, cfg: EVAViTConfig, rope_tables=None,
-                    remat: bool = False, rng=None, fused_ok: bool = True):
+                    remat: bool = False, rng=None, fused_ok: bool = True,
+                    attn_chunk: Optional[int] = None):
     """x: (B, H, W, 3) images (normalized) -> (B, h, w, C) features.
 
     rope_tables: optional precomputed (win, glb) pair from make_rope_tables.
     rng: enables train-time stochastic depth (drop_path_rate ramp).
     fused_ok: False inside the train program (see block_forward).
+    attn_chunk: train-time bounded-memory attention (see block_forward).
     """
     if rope_tables is None:
         rope_tables = make_rope_tables(cfg)
@@ -319,7 +327,8 @@ def eva_vit_forward(params, x, cfg: EVAViTConfig, rope_tables=None,
         brng = None if rng is None else jax.random.fold_in(rng, i)
         fwd = block_forward
         if remat:
-            fwd = jax.checkpoint(block_forward, static_argnums=(2, 3, 5, 7))
+            fwd = jax.checkpoint(block_forward,
+                                 static_argnums=(2, 3, 5, 7, 8))
         x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng,
-                fused_ok)
+                fused_ok, attn_chunk)
     return x

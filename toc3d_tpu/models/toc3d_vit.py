@@ -111,12 +111,14 @@ def init_toc3d_vit(key, cfg: ToC3DViTConfig):
 # ---------------------------------------------------------------------------
 
 def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
-                        ratio: float, rope_tables):
+                        ratio: float, rope_tables,
+                        attn_chunk: Optional[int] = None):
     """Slow/fast token routing inside one window-attention block.
 
     x: (BN, H, W, C); scores: (BN, H*W) importance (log-prob channel 0).
     Mirrors ToC3DEVAViTBlock.forward accelerate path
     (toc3d_eva_vit.py:395-473).
+    attn_chunk: train-time bounded-memory attention (ops.attention).
     """
     if "w_scale" in p["attn"]["q_proj"]:
         raise ValueError(
@@ -159,7 +161,8 @@ def toc3d_block_forward(p, x, scores, cfg: ToC3DViTConfig, window_size: int,
     # raw deltas retained for the fast-path broadcast update.
     shortcut = slow
     hdn = layer_norm(p["norm1"], slow, eps=LN_EPS)
-    raw1 = eva_attention(p["attn"], hdn, cfg.num_heads, tables, sel_idx)
+    raw1 = eva_attention(p["attn"], hdn, cfg.num_heads, tables, sel_idx,
+                         attn_chunk=attn_chunk)
     slow = shortcut + raw1
     raw2 = swiglu(p["mlp"], layer_norm(p["norm2"], slow, eps=LN_EPS),
                   ln_eps=LN_EPS)
@@ -194,7 +197,7 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                       prev_exists, rope_tables=None, rng=None,
                       remat: bool = False, mask_rng=None,
                       fused_ok: bool = True, collect_block_outs: bool = False,
-                      injected=None):
+                      injected=None, attn_chunk: Optional[int] = None):
     """x: (BN, H, W, 3); motion_ctx: dict of memory-bank views (B-leading,
     see token_select.selector_score); prev_exists: (B,) float.
 
@@ -217,6 +220,15 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
     Returns (features (BN, h, w, C), aux dict with token_masks / scores /
     keep_idx / drop_idx lists — one entry per pruning layer).
     """
+    if rng is not None and cfg.mxu_align_k:
+        # ADVICE r4: training keeps the reference's exact keep counts
+        # (k = int(n*ratio), toc3d_utils.py:138). mxu_align_k is a
+        # serving-side padding optimization (drop the 129th token when
+        # k+1 ≡ 1 mod 128) that stays opt-in for inference; a finetune
+        # must see the counts the released checkpoints were trained with.
+        # The two-program split's collector also passes rng, so both
+        # training programs agree.
+        cfg = replace(cfg, mxu_align_k=False)
     if rope_tables is None:
         rope_tables = make_rope_tables(cfg)
     rope_win, rope_glb = rope_tables
@@ -326,9 +338,9 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
                 fwd = toc3d_block_forward
                 if remat:
                     fwd = jax.checkpoint(toc3d_block_forward,
-                                         static_argnums=(3, 4, 5))
+                                         static_argnums=(3, 4, 5, 7))
                 x = fwd(params["blocks"][i], x, scores, cfg, ws, ratio,
-                        tables)
+                        tables, attn_chunk)
         elif inj(i) is not None:
             # injectable full block (dp_rate == 0, see injectable_sites)
             from ..ops.pallas.vit_block import make_injected_op
@@ -343,9 +355,9 @@ def toc3d_vit_forward(params, x, cfg: ToC3DViTConfig, motion_ctx,
             fwd = block_forward
             if remat:
                 fwd = jax.checkpoint(block_forward,
-                                     static_argnums=(2, 3, 5, 7))
+                                     static_argnums=(2, 3, 5, 7, 8))
             x = fwd(params["blocks"][i], x, cfg, ws, tables, dprs[i], brng,
-                    fused_ok)
+                    fused_ok, attn_chunk)
         if collect_block_outs:
             collected["blocks"].append(x)
 

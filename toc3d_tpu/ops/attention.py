@@ -44,12 +44,50 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
-def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None):
+def _sdpa(q, k, v, scale, out_dtype):
+    """softmax(q·kᵀ·scale)·v with f32 logits. Keep exactly this formulation
+    (see the NOTE in eva_attention)."""
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(out_dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
+def _sdpa_chunked(q, k, v, scale, out_dtype, chunk: int):
+    """Bounded-memory attention for training: lax.map over window-batch
+    chunks with a rematted body, so the (B, H, N, N) f32 probs never exist
+    whole — forward saves nothing past the inputs, backward recomputes one
+    chunk's probs at a time. At 1600x800 the unscanned train step's probs
+    are 672 MB/full-layer and 920 MB/global-layer; XLA overlaps block
+    backwards, so those temps stack to a 19.6 GB OOM (TRAIN_r04.json
+    oom_records). Chunking bounds every block's transient to
+    chunk/B of that. Zero-padded tail windows produce uniform-softmax
+    garbage rows that are sliced off (no NaN: all-zero logits are finite).
+    """
+    bq = q.shape[0]
+    nc = -(-bq // chunk)
+    pad = nc * chunk - bq
+    if pad:
+        padw = ((0, pad),) + ((0, 0),) * (q.ndim - 1)
+        q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
+    qs, ks, vs = (t.reshape((nc, chunk) + t.shape[1:]) for t in (q, k, v))
+    body = jax.checkpoint(
+        lambda args: _sdpa(args[0], args[1], args[2], scale, out_dtype))
+    out = jax.lax.map(body, (qs, ks, vs))
+    out = out.reshape((nc * chunk,) + out.shape[2:])
+    return out[:bq] if pad else out
+
+
+def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None,
+                  attn_chunk: Optional[int] = None):
     """x: (B, N, C) or (B, H, W, C). rope_tables: (cos, sin) or None.
 
     select_idx: (B, N) flat positions for RoPE-with-selection; None applies
     RoPE at raster positions 0..N-1. This is the XLA correctness baseline;
     the production TPU path fuses whole blocks (ops/pallas/vit_block.py).
+    attn_chunk: train-time bounded-memory mode — run the softmax(QKᵀ)V core
+    as a rematted lax.map over chunks of `attn_chunk` windows (see
+    _sdpa_chunked). Same math, same dtypes; only lifetime/scheduling differ.
     """
     reorganize = x.ndim == 4
     if reorganize:
@@ -77,10 +115,10 @@ def eva_attention(p, x, num_heads: int, rope_tables=None, select_idx=None):
 
     head_dim = c // num_heads
     scale = head_dim ** -0.5
-    attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                      preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    if attn_chunk and q.shape[0] > attn_chunk:
+        out = _sdpa_chunked(q, k, v, scale, x.dtype, attn_chunk)
+    else:
+        out = _sdpa(q, k, v, scale, x.dtype)
     out = _merge_heads(out)
     out = linear(p["proj"], out)
     if reorganize:

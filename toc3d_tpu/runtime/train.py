@@ -180,7 +180,7 @@ def init_train_state(params, tx, batch_size: int,
 def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
                    rng, remat: bool = True, with_losses: bool = True,
                    backbone_grad: bool = True, injected=None,
-                   view_scan: bool = False):
+                   view_scan=False, attn_chunk: Optional[int] = None):
     """batch dict (B-leading; G3/G2 are static padded GT counts):
       img (B, N, H, W, 3), intrinsics/img2lidar (B, N, 4, 4),
       timestamp (B,), ego_pose/ego_pose_inv (B, 4, 4), prev_exists (B,),
@@ -208,7 +208,8 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
     # Pallas custom calls in THIS (differentiated) program.
     feats, aux = extract_img_feat(params, cfg, img, memory, batch,
                                   rng=k_sel, remat=remat, fused_ok=False,
-                                  injected=injected, view_scan=view_scan)
+                                  injected=injected, view_scan=view_scan,
+                                  attn_chunk=attn_chunk)
     if not backbone_grad:
         # reference runs history-frame backbones under torch.no_grad
         # (petr3d.py:262-308, num_frame_backbone_grads): head/neck-side
@@ -279,7 +280,8 @@ def compute_losses(params, cfg: DetectorConfig, memory: MemoryBank, batch,
 def compute_losses_multiframe(params, cfg: DetectorConfig,
                               memory: MemoryBank, batch, rng,
                               remat: bool = True,
-                              view_scan: bool = False):
+                              view_scan=False,
+                              attn_chunk: Optional[int] = None):
     """Sliding-window multi-frame training (reference petr3d.py:262-308,
     obtain_history_memory / forward_train with queue_length > 1).
 
@@ -308,7 +310,8 @@ def compute_losses_multiframe(params, cfg: DetectorConfig,
                                              remat=remat,
                                              with_losses=loss_frame,
                                              backbone_grad=bb_grad_frame,
-                                             view_scan=view_scan)
+                                             view_scan=view_scan,
+                                             attn_chunk=attn_chunk)
         if not grad_frame:
             total = jax.lax.stop_gradient(total)
             ld = jax.tree_util.tree_map(jax.lax.stop_gradient, ld)
@@ -339,7 +342,8 @@ def collect_backbone_outs(params, cfg: DetectorConfig, memory: MemoryBank,
     return collected
 
 
-def make_split_train_step(cfg: DetectorConfig, tx):
+def make_split_train_step(cfg: DetectorConfig, tx,
+                          attn_chunk: Optional[int] = None):
     """Two-program train step (VERDICT r3 #3): the Pallas megakernels +
     patchify run the backbone FORWARD in a separate non-differentiated
     program; the differentiated program receives those outputs as inputs
@@ -363,7 +367,7 @@ def make_split_train_step(cfg: DetectorConfig, tx):
 
     def loss_fn(params, memory, batch, rng, injected):
         return compute_losses(params, cfg, memory, batch, rng,
-                              injected=injected)
+                              injected=injected, attn_chunk=attn_chunk)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def update(state: TrainState, batch, rng, injected):
@@ -398,23 +402,32 @@ def auto_view_scan(cfg: DetectorConfig) -> bool:
     return h * w > 500_000
 
 
-def make_train_step(cfg: DetectorConfig, tx, view_scan: Optional[bool] = None,
-                    remat: bool = True):
+def make_train_step(cfg: DetectorConfig, tx, view_scan=None,
+                    remat: bool = True, attn_chunk: Optional[int] = None,
+                    multiframe: bool = False):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
-    view_scan: None -> auto_view_scan(cfg); see extract_img_feat.
+    view_scan: None -> auto_view_scan(cfg); True/int -> scan the backbone
+    over views (int = views per scan chunk); see extract_img_feat.
     remat: per-block/per-decoder-layer jax.checkpoint (default on — the
     reference trains with `with_cp=True` everywhere). view_scan already
     cuts peak HBM ~N-fold, so remat=False is a measurable speed knob at
-    1600x800 (bench.py --no-remat)."""
+    1600x800 (bench.py --no-remat).
+    attn_chunk: bounded-memory backbone attention (ops.attention
+    _sdpa_chunked); with it the UNSCANNED 1600x800 step fits in HBM.
+    multiframe: batch carries a T axis after B and the loss is
+    compute_losses_multiframe (reference queue_length > 1 regime,
+    petr3d.py:262-308 obtain_history_memory)."""
     if view_scan is None:
-        view_scan = auto_view_scan(cfg)
+        view_scan = auto_view_scan(cfg) and attn_chunk is None
+    loss = compute_losses_multiframe if multiframe else compute_losses
 
     def train_step(state: TrainState, batch, rng):
         (total, (losses, new_memory)), grads = jax.value_and_grad(
-            compute_losses, has_aux=True)(state.params, cfg, state.memory,
-                                          batch, rng, remat=remat,
-                                          view_scan=view_scan)
+            loss, has_aux=True)(state.params, cfg, state.memory,
+                                batch, rng, remat=remat,
+                                view_scan=view_scan,
+                                attn_chunk=attn_chunk)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_memory = jax.tree_util.tree_map(jax.lax.stop_gradient, new_memory)

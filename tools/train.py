@@ -104,6 +104,16 @@ def main():
                     help="lax.scan the backbone over camera views in the "
                          "train step (auto: on at 1600x800, where the "
                          "unscanned backward overflows the chip's HBM)")
+    ap.add_argument("--view-chunk", type=int, default=0,
+                    help="scan the backbone over chunks of this many views "
+                         "(overrides --view-scan; must divide the view "
+                         "count) — fewer scan steps, larger batched-window "
+                         "matmuls, still bounded temps")
+    ap.add_argument("--attn-chunk", type=int, default=0,
+                    help="bounded-memory backbone attention: rematted "
+                         "lax.map over chunks of this many windows, so "
+                         "per-block f32 attention probs never materialize "
+                         "whole (makes the UNSCANNED 1600x800 step fit)")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize (auto-detect "
                          "cluster env: TPU pod / SLURM)")
@@ -175,14 +185,20 @@ def main():
     state = jax.device_put(state, NamedSharding(mesh, P()))
     state = state._replace(memory=jax.device_put(
         state.memory, NamedSharding(mesh, _dp(mesh))))
+    achunk = args.attn_chunk or None
     if args.split_step:
         from toc3d_tpu.runtime.train import make_split_train_step
         assert n_dev == 1, "--split-step is a single-device serving of the " \
             "Pallas-forward training path; use the XLA step under meshes"
-        step_fn = make_split_train_step(cfg, tx)
+        step_fn = make_split_train_step(cfg, tx, attn_chunk=achunk)
     else:
+        # view_scan=None -> auto policy inside make_train_step (on at
+        # 1600x800 UNLESS attn_chunk already bounds the memory)
         vs = {"auto": None, "on": True, "off": False}[args.view_scan]
-        step_fn = jax.jit(make_train_step(cfg, tx, view_scan=vs),
+        if args.view_chunk:
+            vs = args.view_chunk
+        step_fn = jax.jit(make_train_step(cfg, tx, view_scan=vs,
+                                          attn_chunk=achunk),
                           donate_argnums=(0,))
 
     # per-host sampling: each process draws only its own lanes (lane
