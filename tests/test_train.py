@@ -171,3 +171,28 @@ def test_layer_decay_mults_per_depth():
         assert np.isclose(got, rate ** (depth - i)), i
     # non-backbone leaves: no decay
     assert mults["pts_bbox_head"]["reference_points"] == 1.0
+
+
+def test_train_step_multiframe():
+    """make_train_step(multiframe=True): full update step over a T-axis
+    batch (reference queue_length regime, petr3d.py:262-308) — finite
+    loss, params move, memory streams out of the last frame."""
+    cfg = get_config("tiny")
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, total_iters=100)
+    state = init_train_state(params, tx, 1, cfg)
+    step = jax.jit(make_train_step(cfg, tx, multiframe=True))
+
+    rng = np.random.RandomState(0)
+    frames = [make_batch(rng, 1, 2, *cfg.pad_shape) for _ in range(3)]
+    batch = {k: jnp.stack([f[k] for f in frames], axis=1)
+             for k in frames[0]}
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # losses keyed by frame index, only the last num_frame_losses frames
+    assert any(k.startswith("frame_2_") for k in metrics)
+    d = float(jnp.abs(
+        state1.params["img_backbone"]["patch_embed"]["w"]
+        - state.params["img_backbone"]["patch_embed"]["w"]).max())
+    assert d > 0
+    assert float(jnp.abs(state1.memory.embedding).sum()) > 0
