@@ -284,6 +284,10 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="bench every baseline/fast/faster family and "
                          "write PERF.md (compression-payoff table)")
+    ap.add_argument("--int8-calib", type=int, default=0,
+                    help="with --int8: statically calibrate activation "
+                         "scales over this many frames (ops/int8_calib.py) "
+                         "instead of per-row dynamic quantization")
     ap.add_argument("--int8", action="store_true",
                     help="experimental int8 serving path: per-channel int8 "
                          "weights + dynamic per-row activation quantization "
@@ -317,6 +321,21 @@ def main():
     params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     state = init_state(b, cfg)
+
+    if args.int8_calib:
+        # static activation calibration (r3 #6c): capture per-block site
+        # amaxes over N synthetic eval frames on the FLOAT params, attach;
+        # the precast inside make_infer_fn then quantizes with fixed
+        # activation scales (kernels skip the per-row dynamic amax).
+        assert args.int8, "--int8-calib requires --int8"
+        from toc3d_tpu.ops.int8_calib import (calibrate_act_scales,
+                                              attach_act_scales)
+        crng = np.random.RandomState(7)
+        cal_frames = [make_frame(crng, b, n, h, w, float(i > 0))
+                      for i in range(args.int8_calib)]
+        params = attach_act_scales(
+            params, calibrate_act_scales(params, cfg, cal_frames))
+        label += f"+calib{args.int8_calib}"
 
     step = make_infer_fn(cfg)
     rng = np.random.RandomState(0)

@@ -365,3 +365,109 @@ def test_int8_quantized_blocks_close_to_float():
     x = jnp.asarray(rng.randn(b, 8, 8, c).astype(np.float32))
     with pytest.raises(ValueError, match="int8-quantized"):
         block_forward(pq, x, cfg, 8, None)
+
+
+def test_int8_static_calibration_matches_dynamic():
+    """Static activation scales (ops/int8_calib site probes -> amax/127,
+    quantize_block_params(act_scales=...)) must track the f32 reference as
+    closely as the dynamic per-row path on the calibration input — per-site
+    amax quantization strictly coarsens rows whose own amax is smaller, so
+    the bound is the same order, and static-vs-dynamic outputs must agree
+    tightly. Full + compressed kernels, image and stripe layouts."""
+    from toc3d_tpu.ops.pallas.vit_block import (
+        fused_full_block, fused_compressed_block, quantize_block_params,
+        is_quantized)
+    from toc3d_tpu.ops.int8_calib import (full_block_site_amax,
+                                          compressed_block_site_amax)
+    from toc3d_tpu.ops.pallas.vit_block import _ACT_SITES
+    from toc3d_tpu.models.eva_vit import block_forward, EVAViTConfig
+    from toc3d_tpu.models.toc3d_vit import (toc3d_block_forward,
+                                            ToC3DViTConfig)
+
+    rng = np.random.RandomState(12)
+    b, c, heads = 2, 32, 2
+    p = _block_params(jax.random.PRNGKey(7), c, 64)
+    pq_dyn = quantize_block_params(p, heads)
+    assert is_quantized(pq_dyn) == "dynamic"
+
+    def err(a, r):
+        a, r = np.asarray(a, np.float64), np.asarray(r, np.float64)
+        return np.mean(np.abs(a - r)) / (np.mean(np.abs(r)) + 1e-9)
+
+    for ws, (h, w) in ((8, (10, 12)), (4, (8, 12))):
+        cfg = EVAViTConfig(embed_dim=c, num_heads=heads, mlp_ratio=2.0,
+                           window_size=ws)
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        tables = build_rope_table(c // heads // 2, ws, ws)
+
+        amax = full_block_site_amax(p, x, heads, ws, tables)
+        scales = {k: float(amax[k]) / 127.0 for k in _ACT_SITES}
+        pq = quantize_block_params(p, heads, act_scales=scales)
+        assert is_quantized(pq) == "static"
+
+        ref = block_forward(p, x, cfg, ws, tables)
+        out_s = fused_full_block(pq, x, heads, ws, tables, interpret=True)
+        out_d = fused_full_block(pq_dyn, x, heads, ws, tables,
+                                 interpret=True)
+        assert err(out_s, ref) < 0.03, (ws, err(out_s, ref))
+        assert err(out_s, out_d) < 0.02, (ws, err(out_s, out_d))
+
+        scores = jnp.asarray(rng.randn(b, h * w).astype(np.float32))
+        tcfg = ToC3DViTConfig(
+            embed_dim=c, num_heads=heads, mlp_ratio=2.0, window_size=ws,
+            pruning_loc=(0,), token_ratio=(0.5,), global_attn_indexes=(9,),
+            use_represent_tokens=True, rope_acc=True)
+        amax2 = compressed_block_site_amax(p, x, scores, tcfg, ws, 0.5,
+                                           tables)
+        scales2 = {k: float(amax2[k]) / 127.0 for k in _ACT_SITES}
+        pq2 = quantize_block_params(p, heads, act_scales=scales2)
+        ref2 = toc3d_block_forward(p, x, scores, tcfg, ws, 0.5, tables)
+        out2 = fused_compressed_block(pq2, x, scores, heads, ws, 0.5,
+                                      tables, use_represent=True,
+                                      rope_acc=True, interpret=True)
+        assert err(out2, ref2) < 0.03, (ws, err(out2, ref2))
+
+
+def test_int8_calibrate_attach_precast():
+    """calibrate_act_scales on the tiny detector: scales are positive and
+    finite for every block/site, and attach_act_scales threads them through
+    the detector precast so every quantized block carries static scales
+    (is_quantized == 'static'). The kernel-level static-vs-float accuracy
+    is pinned by test_int8_static_calibration_matches_dynamic; the fused
+    e2e path needs a TPU backend (the XLA block path rejects quantized
+    params by design)."""
+    from toc3d_tpu.configs import get_config
+    from toc3d_tpu.ops.int8_calib import (calibrate_act_scales,
+                                          attach_act_scales)
+    from toc3d_tpu.ops.pallas.vit_block import _ACT_SITES, is_quantized
+    from toc3d_tpu.models.detector import (init_detector,
+                                           _precast_backbone_params)
+    import dataclasses
+
+    import bench as bench_mod
+
+    cfg = get_config("tiny")
+    params = jax.jit(lambda k: init_detector(k, cfg))(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    h, w = cfg.pad_shape
+    frames = [bench_mod.make_frame(rng, 1, 2, h, w, float(i > 0))
+              for i in range(2)]
+    scales = calibrate_act_scales(params, cfg, frames)
+    assert len(scales) == cfg.backbone.depth
+    for s in scales:
+        for k in _ACT_SITES:
+            v = float(s[k])
+            assert np.isfinite(v) and v > 0.0, (k, v)
+
+    qcfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, quant="int8"))
+    p_static = attach_act_scales(params, scales)
+    pre = _precast_backbone_params(p_static, qcfg)
+    for blk in pre["img_backbone"]["blocks"]:
+        assert is_quantized(blk) == "static"
+        for k in _ACT_SITES:
+            assert blk["act_scales"][k].shape == (1, 1)
+    assert "act_scales" not in pre["img_backbone"]
+    # without attach, the same precast stays dynamic
+    pre_d = _precast_backbone_params(params, qcfg)
+    assert is_quantized(pre_d["img_backbone"]["blocks"][0]) == "dynamic"

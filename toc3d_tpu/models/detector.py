@@ -318,8 +318,15 @@ def _precast_backbone_params(params, cfg: DetectorConfig):
         # activation quantization is dynamic per row). Only meaningful with
         # the fused kernels — the XLA block path raises on quantized params.
         from ..ops.pallas.vit_block import quantize_block_params
-        bb["blocks"] = [quantize_block_params(blk, cfg.backbone.num_heads)
-                        for blk in bb["blocks"]]
+        # act_scales: calibrated static activation scales, attached to the
+        # params tree by ops.int8_calib.attach_act_scales. With them the
+        # kernels quantize activations at fixed per-site scales instead of
+        # per-row dynamic amax (r3 #6c static calibration).
+        scales = bb.pop("act_scales", None)
+        bb["blocks"] = [quantize_block_params(
+                            blk, cfg.backbone.num_heads,
+                            act_scales=None if scales is None else scales[i])
+                        for i, blk in enumerate(bb["blocks"])]
     out = dict(params)
     out["img_backbone"] = bb
     if getattr(cfg.head.decoder, "quant", "none") == "int8":

@@ -103,7 +103,7 @@ def _attention(x, refs, num_heads, cos, sin, n_valid, out_dtype):
     d = c // num_heads
     quant = "sq" in refs
     if quant:
-        hq, hs = _rowquant(x)
+        hq, hs = _actquant(x, refs, "csa")
         qf = _qmm(hq, hs, refs["wq"], refs["sq"])
         qf = qf + refs["bq"][:].astype(jnp.float32)
         kf = _qmm(hq, hs, refs["wk"], refs["sk"])
@@ -144,7 +144,7 @@ def _attention(x, refs, num_heads, cos, sin, n_valid, out_dtype):
         heads.append((pv / l).astype(x.dtype))
     o = jnp.concatenate(heads, axis=-1)
     if quant:
-        oq, osc = _rowquant(o)
+        oq, osc = _actquant(o, refs, "cso")
         o = _qmm(oq, osc, refs["wo"], refs["so"])
     else:
         o = jnp.dot(o, refs["wo"][:], preferred_element_type=jnp.float32)
@@ -156,7 +156,7 @@ def _swiglu(x, refs):
     @w3+b3 (layers.swiglu parity)."""
     quant = "s1" in refs
     if quant:
-        xq, xs = _rowquant(x)
+        xq, xs = _actquant(x, refs, "csm")
         x1 = _qmm(xq, xs, refs["w1"], refs["s1"])
         x2 = _qmm(xq, xs, refs["w2"], refs["s2"])
     else:
@@ -170,7 +170,7 @@ def _swiglu(x, refs):
     hidden = ((x1f * jax.nn.sigmoid(x1f)).astype(x.dtype) * x2)
     hidden = _ln(hidden, refs["fls"][:], refs["flb"][:])
     if quant:
-        hq, hs = _rowquant(hidden)
+        hq, hs = _actquant(hidden, refs, "csf")
         y = _qmm(hq, hs, refs["w3"], refs["s3"])
     else:
         y = jnp.dot(hidden, refs["w3"][:], preferred_element_type=jnp.float32)
@@ -182,14 +182,23 @@ _WEIGHT_NAMES = ("ln1s", "ln1b", "wq", "bq", "wk", "wv", "bv", "wo", "bo",
                  "w3", "b3")
 # per-output-channel dequant scales, present only on int8-quantized params
 _QSCALE_NAMES = ("sq", "sk", "sv", "so", "s1", "s2", "s3")
+# static per-site activation scales (calibrated, ops.int8_calib), present
+# only when quantize_block_params ran with act_scales: attention input,
+# pre-O-proj attention output, SwiGLU input, post-ffn_ln hidden
+_ASCALE_NAMES = ("csa", "cso", "csm", "csf")
+_ACT_SITES = ("attn_in", "proj_in", "mlp_in", "ffn_in")
 
 
-def is_quantized(p) -> bool:
-    """True if quantize_block_params already ran on this block's params."""
-    return "w_scale" in p["attn"]["q_proj"]
+def is_quantized(p):
+    """Falsy if float params; 'dynamic' if quantize_block_params ran
+    (per-row in-kernel activation quant); 'static' if it ran with
+    calibrated act_scales (per-site scalar activation quant)."""
+    if "w_scale" not in p["attn"]["q_proj"]:
+        return False
+    return "static" if "act_scales" in p else "dynamic"
 
 
-def quantize_block_params(p, num_heads: int):
+def quantize_block_params(p, num_heads: int, act_scales=None):
     """Symmetric per-output-channel int8 quantization of the block's seven
     weight matrices (QKV/O-proj and the three SwiGLU matmuls) for the
     serving int8 kernel path: w -> int8, plus a 'w_scale' f32 (out,) row.
@@ -198,7 +207,14 @@ def quantize_block_params(p, num_heads: int):
     quantization (the bf16 path folds it in _flatten_params); biases and LN
     params are untouched (they stay f32 in-kernel). Run ONCE outside the
     streaming program (detector._precast_backbone_params) — in-graph it
-    would re-quantize every frame."""
+    would re-quantize every frame.
+
+    act_scales: optional calibrated static activation scales for this block
+    ({'attn_in','proj_in','mlp_in','ffn_in'} -> f32 scalar = amax/127,
+    ops.int8_calib.calibrate_act_scales). When given, the kernels quantize
+    activations with these fixed scales instead of per-row dynamic amax —
+    dropping the per-row |x| reduction from every hot matmul's critical
+    path (r3 #6c / VERDICT r4 #4)."""
     def q(d, pre_scale=1.0):
         w = d["w"].astype(jnp.float32) * pre_scale
         s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
@@ -221,6 +237,10 @@ def quantize_block_params(p, num_heads: int):
     out = dict(p)
     out["attn"] = a
     out["mlp"] = m
+    if act_scales is not None:
+        out["act_scales"] = {
+            k: jnp.asarray(act_scales[k], jnp.float32).reshape(1, 1)
+            for k in _ACT_SITES}
     return out
 
 
@@ -234,6 +254,24 @@ def _rowquant(x):
     xq = jnp.clip(jnp.round(x32 * (127.0 / jnp.maximum(amax, 1e-6))),
                   -127.0, 127.0).astype(jnp.int8)
     return xq, s
+
+
+def _statquant(x, s_ref):
+    """Static-scale int8 activation quantization: s = calibrated amax/127
+    ((1,1) f32 VMEM ref). Out-of-range activations saturate at ±127 —
+    standard static-quant semantics; calibration uses running amax over
+    the calibration frames so saturation only hits unseen outliers."""
+    s = s_ref[:].astype(jnp.float32)               # (1, 1)
+    inv = 1.0 / s
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                  -127.0, 127.0).astype(jnp.int8)
+    return xq, s
+
+
+def _actquant(x, refs, site):
+    """Per-site activation quantization: static when the block params carry
+    calibrated scales (_ASCALE_NAMES in refs), dynamic per-row otherwise."""
+    return _statquant(x, refs[site]) if site in refs else _rowquant(x)
 
 
 def _qmm(xq, xs, w_ref, s_ref):
@@ -278,11 +316,16 @@ def _flatten_params(p, dtype, num_heads):
             d["w_scale"].astype(f32)
             for d in (a["q_proj"], a["k_proj"], a["v_proj"], a["proj"],
                       m["w1"], m["w2"], m["w3"]))
+    if quant == "static":
+        flat = flat + tuple(p["act_scales"][k].astype(f32)
+                            for k in _ACT_SITES)
     return flat
 
 
-def _names(quant: bool):
-    return _WEIGHT_NAMES + (_QSCALE_NAMES if quant else ())
+def _names(quant):
+    """quant: falsy | 'dynamic'/True | 'static' (is_quantized return)."""
+    names = _WEIGHT_NAMES + (_QSCALE_NAMES if quant else ())
+    return names + (_ASCALE_NAMES if quant == "static" else ())
 
 
 def _weight_specs(quant: bool = False):
@@ -375,7 +418,7 @@ def _attention_grouped(x, refs, num_heads, cos, sin, group: int, nwj: int,
     d = c // num_heads
     quant = "sq" in refs
     if quant:
-        hq, hs = _rowquant(x)
+        hq, hs = _actquant(x, refs, "csa")
         qf = _qmm(hq, hs, refs["wq"], refs["sq"])
         qf = qf + refs["bq"][:].astype(jnp.float32)
         kf = _qmm(hq, hs, refs["wk"], refs["sk"])
@@ -423,7 +466,7 @@ def _attention_grouped(x, refs, num_heads, cos, sin, group: int, nwj: int,
         outs.append(jnp.concatenate(heads, axis=-1))
     o = jnp.concatenate(outs, axis=0)
     if quant:
-        oq, osc = _rowquant(o)
+        oq, osc = _actquant(o, refs, "cso")
         o = _qmm(oq, osc, refs["wo"], refs["so"])
     else:
         o = jnp.dot(o, refs["wo"][:], preferred_element_type=jnp.float32)
