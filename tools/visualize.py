@@ -1,17 +1,19 @@
 #!/usr/bin/env python
-"""Visualize detections: GT-vs-pred box wireframes on each camera image and
-a top-down BEV panel per sample.
+"""Visualize detections: GT-vs-pred box wireframes on each camera image,
+a top-down BEV panel, and a render_sample-style composite per sample.
 
 Parity target: reference tools/visualize.py + visual_nuscenes.py (a forked
-2289-LoC devkit renderer). This devkit-free version covers the two
-capabilities that matter for debugging accuracy: per-camera GT-vs-pred
-overlays and the BEV view (render_sample_data-style), all with PIL.
+2289-LoC devkit renderer whose driven entry point is
+NuScenes.render_sample(token) — one figure tiling all six cameras plus the
+top-down view with prediction overlays). This devkit-free version covers
+per-camera GT-vs-pred overlays, the BEV view (render_sample_data-style)
+and the tiled composite (render_sample-style, `--composite`), all with PIL.
 
 Usage:
   python tools/visualize.py --results work_dirs/eval/results_nusc.json \\
       --ann data/nuscenes/nuscenes2d_temporal_infos_val.pkl \\
       --data-root data/nuscenes --out-dir vis --num-samples 20 \\
-      [--score-thresh 0.3] [--no-gt] [--bev-range 55]
+      [--score-thresh 0.3] [--no-gt] [--bev-range 55] [--composite]
 """
 import argparse
 import json
@@ -112,6 +114,96 @@ def render_bev(info, pred_annos, gt_annos, bev_range=55.0, size=800):
     return img
 
 
+def render_camera(info, cam, annos, gt_annos, data_root=None,
+                  score_labels=True):
+    """One camera image with GT (green) + prediction wireframes and
+    class/score labels (visual_nuscenes render_sample per-camera axes)."""
+    from PIL import Image, ImageDraw
+    from toc3d_tpu.data.nuscenes import quaternion_rotation_matrix
+
+    path = cam["data_path"]
+    if data_root and not path.startswith("/"):
+        path = os.path.join(data_root, path.lstrip("./"))
+    img = Image.open(path).convert("RGB")
+    draw = ImageDraw.Draw(img)
+    intr = np.asarray(cam["cam_intrinsic"], np.float64)[:3, :3]
+    # global -> cam via lidar (keys present in every pkl flavor):
+    # cam2global = ego2global @ lidar2ego @ cam2lidar
+    e2g_r = quaternion_rotation_matrix(info["ego2global_rotation"])
+    e2g_t = np.asarray(info["ego2global_translation"])
+    l2e_r = quaternion_rotation_matrix(info["lidar2ego_rotation"])
+    l2e_t = np.asarray(info["lidar2ego_translation"])
+    c2l_r = np.asarray(cam["sensor2lidar_rotation"], np.float64)
+    c2l_t = np.asarray(cam["sensor2lidar_translation"], np.float64)
+    c2g_r = e2g_r @ l2e_r @ c2l_r
+    c2g_t = e2g_r @ (l2e_r @ c2l_t + l2e_t) + e2g_t
+    g2c_r = c2g_r.T
+    for a in gt_annos:
+        draw_wireframe(draw, intr, g2c_r, c2g_t, a, GT_COLOR, 2)
+    for a in annos:
+        color = COLORS.get(a["detection_name"], (0, 255, 0))
+        draw_wireframe(draw, intr, g2c_r, c2g_t, a, color, 2)
+        if score_labels:
+            center = g2c_r @ (np.asarray(a["translation"]) - c2g_t)
+            if center[2] < 0.5:
+                continue
+            uv = intr @ center
+            u, v = float(uv[0] / uv[2]), float(uv[1] / uv[2])
+            if 0 <= u < img.width and 0 <= v < img.height:
+                draw.text((u + 3, v - 10),
+                          f"{a['detection_name']} "
+                          f"{a.get('detection_score', 0):.2f}", fill=color)
+    return img
+
+
+# devkit render_sample camera layout (top row / bottom row)
+CAM_LAYOUT = ("CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+              "CAM_BACK_LEFT", "CAM_BACK", "CAM_BACK_RIGHT")
+
+
+def render_sample_composite(info, annos, gt_annos, data_root=None,
+                            bev_range=55.0, tile_w=533):
+    """render_sample-equivalent: all cameras tiled (canonical nuScenes
+    layout when present, sorted order otherwise) + the BEV panel on the
+    right + a class legend strip (visual_nuscenes.py:577-589)."""
+    from PIL import Image, ImageDraw
+
+    names = [c for c in CAM_LAYOUT if c in info["cams"]]
+    if not names:
+        names = sorted(info["cams"])
+    cols = 3 if len(names) > 2 else max(1, len(names))
+    rows = -(-len(names) // cols)
+
+    tiles = []
+    for name in names:
+        img = render_camera(info, info["cams"][name], annos, gt_annos,
+                            data_root)
+        th = round(tile_w * img.height / img.width)
+        tiles.append(img.resize((tile_w, th)))
+    tile_h = min(t.height for t in tiles)
+    grid_h = rows * tile_h
+    bev = render_bev(info, annos, gt_annos, bev_range,
+                     size=grid_h).resize((grid_h, grid_h))
+
+    legend_h = 22
+    canvas = Image.new("RGB", (cols * tile_w + grid_h, grid_h + legend_h),
+                       (0, 0, 0))
+    for i, t in enumerate(tiles):
+        canvas.paste(t.crop((0, 0, tile_w, tile_h)),
+                     ((i % cols) * tile_w, (i // cols) * tile_h))
+    canvas.paste(bev, (cols * tile_w, 0))
+    draw = ImageDraw.Draw(canvas)
+    x = 6
+    present = {a["detection_name"] for a in annos}
+    entries = [("GT", GT_COLOR)] + [(c, COLORS[c]) for c in COLORS
+                                    if c in present]
+    for label, color in entries:
+        draw.rectangle([x, grid_h + 6, x + 12, grid_h + 16], fill=color)
+        draw.text((x + 16, grid_h + 4), label, fill=(230, 230, 230))
+        x += 16 + 8 * len(label) + 14
+    return canvas
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", required=True)
@@ -124,11 +216,14 @@ def main():
                     help="skip the GT overlay (predictions only)")
     ap.add_argument("--no-cams", action="store_true",
                     help="render only the BEV panels")
+    ap.add_argument("--composite", action="store_true",
+                    help="one render_sample-style figure per sample "
+                         "(tiled cameras + BEV + legend) instead of "
+                         "separate images")
     ap.add_argument("--bev-range", type=float, default=55.0)
     args = ap.parse_args()
 
-    from PIL import Image, ImageDraw
-    from toc3d_tpu.data.nuscenes import NuScenesInfos, quaternion_rotation_matrix
+    from toc3d_tpu.data.nuscenes import NuScenesInfos
     from toc3d_tpu.runtime.nusc_metrics import build_gt_from_infos
 
     with open(args.results) as f:
@@ -147,34 +242,22 @@ def main():
                  if a["detection_score"] >= args.score_thresh]
         gt_annos = gt_all.get(info["token"], [])
 
+        if args.composite:
+            img = render_sample_composite(info, annos, gt_annos,
+                                          args.data_root, args.bev_range)
+            img.save(os.path.join(args.out_dir, f"{idx:04d}_sample.jpg"))
+            if (idx + 1) % 5 == 0:
+                print(f"{idx + 1} samples rendered")
+            continue
+
         img = render_bev(info, annos, gt_annos, args.bev_range)
         img.save(os.path.join(args.out_dir, f"{idx:04d}_BEV.jpg"))
 
         if args.no_cams:
             continue
         for cam_name, cam in info["cams"].items():
-            path = cam["data_path"]
-            if args.data_root and not path.startswith("/"):
-                path = os.path.join(args.data_root, path.lstrip("./"))
-            img = Image.open(path).convert("RGB")
-            draw = ImageDraw.Draw(img)
-            intr = np.asarray(cam["cam_intrinsic"], np.float64)[:3, :3]
-            # global -> cam via lidar (keys present in every pkl flavor):
-            # cam2global = ego2global @ lidar2ego @ cam2lidar
-            e2g_r = quaternion_rotation_matrix(info["ego2global_rotation"])
-            e2g_t = np.asarray(info["ego2global_translation"])
-            l2e_r = quaternion_rotation_matrix(info["lidar2ego_rotation"])
-            l2e_t = np.asarray(info["lidar2ego_translation"])
-            c2l_r = np.asarray(cam["sensor2lidar_rotation"], np.float64)
-            c2l_t = np.asarray(cam["sensor2lidar_translation"], np.float64)
-            c2g_r = e2g_r @ l2e_r @ c2l_r
-            c2g_t = e2g_r @ (l2e_r @ c2l_t + l2e_t) + e2g_t
-            g2c_r = c2g_r.T
-            for a in gt_annos:
-                draw_wireframe(draw, intr, g2c_r, c2g_t, a, GT_COLOR, 2)
-            for a in annos:
-                color = COLORS.get(a["detection_name"], (0, 255, 0))
-                draw_wireframe(draw, intr, g2c_r, c2g_t, a, color, 2)
+            img = render_camera(info, cam, annos, gt_annos, args.data_root,
+                                score_labels=False)
             img.save(os.path.join(args.out_dir,
                                   f"{idx:04d}_{cam_name}.jpg"))
         if (idx + 1) % 5 == 0:
