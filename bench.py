@@ -104,7 +104,9 @@ def bench_train(cfg, args):
     if getattr(args, "split_step", False):
         from toc3d_tpu.runtime.train import make_split_train_step
         assert not qlen, "--queue-length needs the plain XLA step"
-        step = make_split_train_step(cfg, tx, attn_chunk=achunk)
+        step = make_split_train_step(cfg, tx, attn_chunk=achunk,
+                                      remat=not getattr(args, "no_remat",
+                                                        False))
     else:
         from toc3d_tpu.runtime.train import auto_view_scan
         vs = {"auto": None, "on": True, "off": False}[

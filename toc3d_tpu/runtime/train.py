@@ -343,7 +343,8 @@ def collect_backbone_outs(params, cfg: DetectorConfig, memory: MemoryBank,
 
 
 def make_split_train_step(cfg: DetectorConfig, tx,
-                          attn_chunk: Optional[int] = None):
+                          attn_chunk: Optional[int] = None,
+                          remat: bool = True):
     """Two-program train step (VERDICT r3 #3): the Pallas megakernels +
     patchify run the backbone FORWARD in a separate non-differentiated
     program; the differentiated program receives those outputs as inputs
@@ -366,7 +367,7 @@ def make_split_train_step(cfg: DetectorConfig, tx,
             params, cfg, memory, batch, rng))
 
     def loss_fn(params, memory, batch, rng, injected):
-        return compute_losses(params, cfg, memory, batch, rng,
+        return compute_losses(params, cfg, memory, batch, rng, remat=remat,
                               injected=injected, attn_chunk=attn_chunk)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

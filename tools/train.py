@@ -114,6 +114,10 @@ def main():
                          "lax.map over chunks of this many windows, so "
                          "per-block f32 attention probs never materialize "
                          "whole (makes the UNSCANNED 1600x800 step fit)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-block/per-decoder-layer "
+                         "jax.checkpoint (speed/memory trade: +17%% at "
+                         "800x320 b1; needs the shape to fit HBM)")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize (auto-detect "
                          "cluster env: TPU pod / SLURM)")
@@ -190,7 +194,8 @@ def main():
         from toc3d_tpu.runtime.train import make_split_train_step
         assert n_dev == 1, "--split-step is a single-device serving of the " \
             "Pallas-forward training path; use the XLA step under meshes"
-        step_fn = make_split_train_step(cfg, tx, attn_chunk=achunk)
+        step_fn = make_split_train_step(cfg, tx, attn_chunk=achunk,
+                                        remat=not args.no_remat)
     else:
         # view_scan=None -> auto policy inside make_train_step (on at
         # 1600x800 UNLESS attn_chunk already bounds the memory)
@@ -198,7 +203,8 @@ def main():
         if args.view_chunk:
             vs = args.view_chunk
         step_fn = jax.jit(make_train_step(cfg, tx, view_scan=vs,
-                                          attn_chunk=achunk),
+                                          attn_chunk=achunk,
+                                          remat=not args.no_remat),
                           donate_argnums=(0,))
 
     # per-host sampling: each process draws only its own lanes (lane
