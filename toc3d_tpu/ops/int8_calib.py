@@ -139,22 +139,55 @@ def compressed_block_site_amax(p, x, scores, cfg, ws, ratio, tables):
     return dict(zip(_ACT_SITES, (a_attn, a_proj, a_mlp, a_ffn)))
 
 
-def backbone_site_amax(params, cfg, frame, memory):
-    """Per-block site amaxes for one eval frame: one collected forward
-    (XLA paths, eval semantics) + per-block site probes. cfg is the
-    DetectorConfig; returns a (depth, 4) f32 array in _ACT_SITES order."""
+def backbone_site_amax(params, cfg, frame, memory, _probe_cache=None):
+    """Per-block site amaxes for one eval frame: one collected forward +
+    per-block site probes. cfg is the DetectorConfig; returns a (depth, 4)
+    f32 numpy array in _ACT_SITES order.
+
+    Compile structure matters here: the first implementation traced the
+    whole backbone AND all depth x 4 site probes into ONE jit with the
+    params closed over as constants — at ViT-L 1600x800 that graph broke
+    the axon remote-compile (40-min compile, then transport error). Now
+    the collection forward is its own jit (the same program family as the
+    split-step collector, runtime/train.collect_backbone_outs) and each
+    probe is a SMALL per-shape jit (params as arguments, reused across
+    blocks and frames — ~4 distinct probe shapes per model)."""
     from ..models.detector import extract_img_feat
     from ..models.eva_vit import make_rope_tables
     from ..ops.resize import resize_abs_pos
 
     bcfg = replace(cfg.backbone, drop_path_rate=0.0)  # eval: all sites
     dcfg = replace(cfg, backbone=bcfg)                # collectable
-    _, aux, collected = extract_img_feat(
-        params, dcfg, frame["img"], memory, frame, rng=None, remat=False,
-        fused_ok=False, collect_block_outs=True)
+
+    collect = jax.jit(lambda p, f, m: extract_img_feat(
+        p, dcfg, f["img"], m, f, rng=None, remat=False,
+        fused_ok=True, collect_block_outs=True)[1:])
+    aux, collected = collect(params, frame, memory)
 
     bb = params["img_backbone"]
     bcfg_b = dcfg.backbone
+    probes = _probe_cache if _probe_cache is not None else {}
+
+    def full_probe(ws):
+        key = ("full", ws)
+        if key not in probes:
+            probes[key] = jax.jit(
+                lambda p, x, t, ws=ws: jnp.stack(
+                    [full_block_site_amax(p, x, bcfg_b.num_heads, ws,
+                                          t or None)[k]
+                     for k in _ACT_SITES]))
+        return probes[key]
+
+    def comp_probe(ws, ratio):
+        key = ("comp", ws, ratio)
+        if key not in probes:
+            probes[key] = jax.jit(
+                lambda p, x, s, t, ws=ws, ratio=ratio: jnp.stack(
+                    [compressed_block_site_amax(p, x, s, bcfg_b, ws, ratio,
+                                                t or None)[k]
+                     for k in _ACT_SITES]))
+        return probes[key]
+
     x = collected["patch_embed"]
     if bcfg_b.use_abs_pos:
         x = x + resize_abs_pos(bb["pos_embed"], bcfg_b.pretrain_use_cls_token,
@@ -173,16 +206,14 @@ def backbone_site_amax(params, cfg, frame, memory):
         is_global = i in bcfg_b.global_attn_indexes
         ws = bcfg_b.global_window_size if is_global else bcfg_b.window_size
         tables = rope_glb if is_global else rope_win
-        tables = tables if bcfg_b.rope else None
+        tables = tuple(tables) if (bcfg_b.rope and tables) else ()
         if bcfg_b.block_is_accelerated(i):
-            site = compressed_block_site_amax(bb["blocks"][i], x, scores,
-                                              bcfg_b, ws, ratio, tables)
+            row = comp_probe(ws, ratio)(bb["blocks"][i], x, scores, tables)
         else:
-            site = full_block_site_amax(bb["blocks"][i], x,
-                                        bcfg_b.num_heads, ws, tables)
-        rows.append(jnp.stack([site[k] for k in _ACT_SITES]))
+            row = full_probe(ws)(bb["blocks"][i], x, tables)
+        rows.append(np.asarray(row, np.float64))
         x = collected["blocks"][i]
-    return jnp.stack(rows)                      # (depth, 4)
+    return np.stack(rows)                      # (depth, 4)
 
 
 def calibrate_act_scales(params, cfg, frames, headroom: float = 1.0):
@@ -196,11 +227,12 @@ def calibrate_act_scales(params, cfg, frames, headroom: float = 1.0):
     resolution for saturation margin on unseen outliers."""
     from ..models.streampetr_head import init_memory
 
-    probe = jax.jit(lambda f, m: backbone_site_amax(params, cfg, f, m))
+    probe_cache = {}
     running = None
     for frame in frames:
         memory = init_memory(frame["img"].shape[0], cfg.head)
-        amax = np.asarray(probe(frame, memory), np.float64)
+        amax = backbone_site_amax(params, cfg, frame, memory,
+                                  _probe_cache=probe_cache)
         running = amax if running is None else np.maximum(running, amax)
     assert running is not None, "calibration needs at least one frame"
     scales = np.maximum(running * headroom, 1e-6) / 127.0
