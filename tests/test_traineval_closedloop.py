@@ -26,6 +26,7 @@ The recorded full-scale trajectories live in TRAINEVAL_r04.json /
 TRAINEVAL_r05.json.
 """
 import json
+import shutil
 import subprocess
 import sys
 import os
@@ -46,6 +47,9 @@ def _run(tmp_path, iters, extra=()):
            *extra]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=9000)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    keep = os.environ.get("TOC3D_CLOSEDLOOP_KEEP")
+    if keep:  # archive the trajectory (e.g. TRAINEVAL_r05.json)
+        shutil.copy(out, keep)
     return json.loads(out.read_text())
 
 
