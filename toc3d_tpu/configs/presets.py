@@ -104,9 +104,10 @@ def stream_petr_eva_vit_l_1600(**kw) -> DetectorConfig:
     return _detector(EVAViTConfig(**_vit_l_kwargs()), (800, 1600), **kw)
 
 
-def _toc3d_backbone(ratios, base_kwargs=None, num_queries=64):
+def _toc3d_backbone(ratios, base_kwargs=None, num_queries=64,
+                    pruning_loc=(6, 12, 18)):
     return ToC3DViTConfig(
-        pruning_loc=(6, 12, 18), token_ratio=tuple(ratios),
+        pruning_loc=pruning_loc, token_ratio=tuple(ratios),
         pruning_num_queries=num_queries, pruning_score_type="attention",
         pruning_attn_scale=True, score_mask=True, accelerate_global=True,
         use_represent_tokens=True, rope_acc=True, query_dim=256,
@@ -142,6 +143,15 @@ def toc3d_ratio_sweep(r1: int, r2: int, r3: int, res1600=False,
     return _detector(_toc3d_backbone(ratios), pad, **kw)
 
 
+# The reference ships no ViT-B config (paper Table 2 only). The ViT-L
+# configs prune at depth fractions 1/4, 1/2, 3/4 of 24 = (6, 12, 18)
+# (ToC3D_fast.py pruning_loc); at depth 12 that leaves layers 12/18
+# nonexistent — only 6 of 12 blocks would compress and token_ratio[1:]
+# would never fire (the round-3/4 "ViT-B compression doesn't pay" was
+# largely THIS, not an MXU floor). Proportional schedule = (3, 6, 9).
+_VIT_B_PRUNING_LOC = (3, 6, 9)
+
+
 def stream_petr_vit_b(**kw) -> DetectorConfig:
     """StreamPETR ViT-B baseline, 800x320, no pruning (paper Table 2 ViT-B
     rows — no reference config shipped; 85.2/115.0 ms A100)."""
@@ -150,12 +160,14 @@ def stream_petr_vit_b(**kw) -> DetectorConfig:
 
 
 def toc3d_vit_b_fast(**kw) -> DetectorConfig:
-    return _detector(_toc3d_backbone((0.7, 0.5, 0.5), _vit_b_kwargs()),
+    return _detector(_toc3d_backbone((0.7, 0.5, 0.5), _vit_b_kwargs(),
+                                     pruning_loc=_VIT_B_PRUNING_LOC),
                      (320, 800), vit_b=True, **kw)
 
 
 def toc3d_vit_b_faster(**kw) -> DetectorConfig:
-    return _detector(_toc3d_backbone((0.5, 0.4, 0.3), _vit_b_kwargs()),
+    return _detector(_toc3d_backbone((0.5, 0.4, 0.3), _vit_b_kwargs(),
+                                     pruning_loc=_VIT_B_PRUNING_LOC),
                      (320, 800), vit_b=True, **kw)
 
 
